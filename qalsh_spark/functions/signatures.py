@@ -1,0 +1,147 @@
+"""Arrow-batched signature UDFs — the only Python in the hot path.
+
+Reimagines the reference's per-point LSH projection loop
+(/root/reference/methods/qalsh.h:285-307: for each of m projections, dot every
+point with a p-stable vector, sort, bulkload a B+-tree) as ONE vectorized
+pass per document batch producing minhash/simhash/band keys; the "sorted
+projection table" becomes a posexplode'd (band_id, band_key) DataFrame that
+Catalyst shuffles into equality buckets — no trees, no pages.
+
+Batch discipline: per Arrow batch (spark.sql.execution.arrow.maxRecordsPerBatch
+rows) the loop over documents is Python, but all per-document math is NumPy —
+each document is itself a vector op (n_shingles x 128 broadcast).  This is the
+structure the input_hint mandates ("vectorized pandas/Arrow UDFs, no per-row
+Python" — no per-ROW Python interpreter arithmetic).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+from pyspark.sql import DataFrame
+
+from qalsh_spark import kernels as K
+from qalsh_spark.config import DedupConfig
+
+# Extraction contract (BASELINE.json input_hint: byte-identical text per url):
+# text is the <p> block contents joined by a single space. Shared verbatim with
+# the oracle via this module-level regex + function.
+_P_BLOCK = re.compile(rb"<p>(.*?)</p>", re.DOTALL)
+
+
+def extract_text_bytes(html: bytes) -> str:
+    """html bytes -> extracted text. Pure function, used by UDF *and* oracle."""
+    if html is None:
+        return ""
+    return b" ".join(_P_BLOCK.findall(html)).decode("utf-8", "replace")
+
+
+@F.pandas_udf(T.StringType())
+def extract_text_udf(html: pd.Series) -> pd.Series:
+    return html.map(extract_text_bytes)
+
+
+_SIGNATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("n_tokens", T.IntegerType()),
+        T.StructField("shingle_count", T.IntegerType()),
+        T.StructField("shingles", T.ArrayType(T.LongType())),
+        T.StructField("minhash", T.ArrayType(T.IntegerType())),
+        T.StructField("band_keys", T.ArrayType(T.LongType())),
+        T.StructField("simhash", T.LongType()),
+        T.StructField("simhash_keys", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def _sign_batches(cfg: DedupConfig):
+    a, b = K.minhash_params(cfg.num_perm, cfg.minhash_seed)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            out = {
+                "doc_id": pdf["doc_id"].to_numpy(),
+                "url": pdf["url"].to_numpy(),
+                "warc_ts": pdf["warc_ts"].to_numpy(),
+                "lang": pdf["lang"].to_numpy(),
+                "n_tokens": np.zeros(n, np.int32),
+                "shingle_count": np.zeros(n, np.int32),
+                "shingles": [None] * n,
+                "minhash": [None] * n,
+                "band_keys": [None] * n,
+                "simhash": np.zeros(n, np.int64),
+                "simhash_keys": [None] * n,
+            }
+            for i, text in enumerate(pdf["text"].to_numpy()):
+                s = K.sign_document(
+                    text or "",
+                    a,
+                    b,
+                    cfg.shingle_k,
+                    cfg.bands,
+                    cfg.rows,
+                    cfg.simhash_bands,
+                    cfg.simhash_band_width,
+                )
+                out["n_tokens"][i] = s["n_tokens"]
+                out["shingle_count"][i] = len(s["shingles"])
+                out["shingles"][i] = s["shingles"]
+                out["minhash"][i] = s["minhash"]
+                out["band_keys"][i] = s["band_keys"]
+                out["simhash"][i] = s["simhash"]
+                out["simhash_keys"][i] = s["simhash_keys"]
+            yield pd.DataFrame(out)
+
+    return fn
+
+
+def doc_id_expr(url_col):
+    """Portable doc id = first 16 hex chars of md5(url) as signed int64,
+    assembled from two 32-bit halves (conv of 16 hex chars would overflow the
+    string->long cast).  Bit-identical to kernels.doc_id_from_url (Python)
+    and expressible in DuckDB — the whole toolchain shares one id space
+    (SURVEY.md §1.2 'point id'; no monotonically_increasing_id)."""
+    hexs = F.md5(url_col.cast("string"))
+    hi = F.conv(F.substring(hexs, 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(hexs, 9, 8), 16, 10).cast("long")
+    return F.shiftleft(hi, 32).bitwiseOR(lo)
+
+
+def with_doc_id(documents: DataFrame) -> DataFrame:
+    """Mint the compact deterministic doc_id from the url primary key."""
+    return documents.withColumn("doc_id", doc_id_expr(F.col("url")))
+
+
+def sign_documents(documents: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """documents(url, warc_ts, html?, text, lang) -> signatures table
+    (FIXTURES.md §2 + suffix-lane columns).  If `text` is null/absent it is
+    extracted from `html` (stage 2 'extract' of SURVEY.md §3.4)."""
+    cols = set(documents.columns)
+    df = documents
+    if "text" not in cols and "html" in cols:
+        df = df.withColumn("text", extract_text_udf(F.col("html")))
+    elif "html" in cols:
+        df = df.withColumn(
+            "text",
+            F.when(F.col("text").isNull(), extract_text_udf(F.col("html"))).otherwise(
+                F.col("text")
+            ),
+        )
+    if "warc_ts" not in cols:
+        df = df.withColumn("warc_ts", F.lit(None).cast("timestamp"))
+    if "lang" not in cols:
+        df = df.withColumn("lang", F.lit(None).cast("string"))
+    df = with_doc_id(df)
+    return df.select("doc_id", "url", "warc_ts", "lang", "text").mapInPandas(
+        _sign_batches(cfg), schema=_SIGNATURE_SCHEMA
+    )

@@ -1,0 +1,245 @@
+"""Pure-NumPy signature kernels, shared verbatim by the Spark pandas UDFs
+(qalsh_spark/functions/signatures.py) and the single-process test oracle
+(tests/oracle.py).  Sharing one implementation is what makes the "dup-pair
+recall >= 0.99 vs reference clusters at identical config" gate (BASELINE.json)
+achievable by construction: both sides compute bit-identical signatures.
+
+Reference lineage:
+- `minhash_from_shingles` reimagines the reference's LSH projection
+  h(o) = <a_i, o> over m p-stable vectors (/root/reference/methods/qalsh.h:118-120,
+  coefficients drawn at methods/qalsh.h:238-244) as 128 seeded universal-hash
+  permutations over a document's shingle set.
+- `band_hashes` reimagines the B+-tree bucket of close projections
+  (methods/qalsh.h:285-307) as an equality bucket over r concatenated minhash rows.
+- The fixed seed mirrors `srand(6)` at methods/main.cc:152 — index builds are
+  reproducible.
+- `simhash64` adds the complementary bitwise fingerprint lane (Hamming<=h).
+- `anchors`/`suffixes_for_text` implement the content-defined sampling that
+  feeds the exact-substring (suffix) lane.
+
+All functions are deterministic, vectorized, and dependency-free (NumPy only).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+
+# --- fixed 64-bit mixing constants (splitmix64 / xxhash-style, public domain
+# constants widely used in open-source hashing code) -------------------------
+_M1 = np.uint64(0x9E3779B97F4A7C15)
+_M2 = np.uint64(0xC2B2AE3D27D4EB4F)
+_M3 = np.uint64(0xFF51AFD7ED558CCD)
+_M4 = np.uint64(0xC4CEB9FE1A85EC53)
+
+_TOKEN_RE = re.compile(r"[a-z0-9]+")
+
+_EMPTY_SHINGLE = np.uint64(0x9E3779B97F4A7C15)  # sentinel shingle for empty docs
+
+
+def _mix64(h: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — avalanche a uint64 array in place-ish."""
+    h = h.astype(np.uint64, copy=True)
+    h ^= h >> np.uint64(33)
+    h *= _M3
+    h ^= h >> np.uint64(33)
+    h *= _M4
+    h ^= h >> np.uint64(33)
+    return h
+
+
+def tokenize(text: str) -> list[str]:
+    """Lowercase alnum tokenization. Must stay in lock-step with the oracle —
+    it IS the oracle's tokenizer (same module)."""
+    return _TOKEN_RE.findall(text.lower())
+
+
+def hash_tokens(tokens: list[str]) -> np.ndarray:
+    """Vectorized token -> uint64. Tokens are padded/truncated to 16 bytes and
+    viewed as 2 uint64 lanes, then mixed. No per-token Python hashing."""
+    if not tokens:
+        return np.empty(0, dtype=np.uint64)
+    a = np.array(tokens, dtype="S16")  # zero-padded, silently truncated >16B
+    lanes = np.frombuffer(a.tobytes(), dtype=np.uint64).reshape(len(tokens), 2)
+    with np.errstate(over="ignore"):
+        h = (lanes[:, 0] * _M1) ^ (lanes[:, 1] * _M2)
+    return _mix64(h)
+
+
+def shingle_hashes(token_hashes: np.ndarray, k: int = 3) -> np.ndarray:
+    """Rolling combine of k consecutive token hashes -> sorted unique uint64
+    shingle set. Docs with fewer than k tokens fall back to their token hashes;
+    empty docs get a single sentinel shingle."""
+    n = len(token_hashes)
+    if n == 0:
+        return np.array([_EMPTY_SHINGLE], dtype=np.uint64)
+    if n < k:
+        return np.unique(_mix64(token_hashes))
+    with np.errstate(over="ignore"):
+        s = token_hashes[: n - k + 1] * _M1
+        for i in range(1, k):
+            s = s ^ (token_hashes[i : n - k + 1 + i] * np.uint64(2 * i + 1) * _M2)
+    return np.unique(_mix64(s))
+
+
+def minhash_params(num_perm: int = 128, seed: int = 6) -> tuple[np.ndarray, np.ndarray]:
+    """Seeded (a, b) multiply-add permutation parameters; `a` forced odd.
+    Analog of drawing m*d p-stable coefficients at a fixed seed
+    (/root/reference/methods/qalsh.h:238-244 + methods/main.cc:152)."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, 2**63, size=num_perm, dtype=np.uint64) | np.uint64(1)
+    b = rng.integers(0, 2**63, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def minhash_from_shingles(
+    shingles: np.ndarray, a: np.ndarray, b: np.ndarray
+) -> np.ndarray:
+    """128-perm MinHash: min over shingles of (a_i*s + b_i) mod 2^64, top 32
+    bits kept -> int32 array (FIXTURES.md §2 schema)."""
+    with np.errstate(over="ignore"):
+        v = shingles[:, None] * a[None, :] + b[None, :]
+    mh64 = v.min(axis=0)
+    return (mh64 >> np.uint64(32)).astype(np.uint32).view(np.int32)
+
+
+_BIT_SHIFTS = np.arange(64, dtype=np.uint64)
+
+
+def simhash64(token_hashes: np.ndarray) -> int:
+    """64-bit SimHash over (multiset of) token hashes; returns signed int64-
+    compatible Python int. Ties (vote == 0) resolve to bit 0."""
+    if len(token_hashes) == 0:
+        return 0
+    bits = (token_hashes[:, None] >> _BIT_SHIFTS[None, :]) & np.uint64(1)
+    votes = bits.sum(axis=0, dtype=np.int64) * 2 - len(token_hashes)
+    fp = np.uint64(0)
+    set_bits = (votes > 0).astype(np.uint64)
+    with np.errstate(over="ignore"):
+        fp = (set_bits << _BIT_SHIFTS).sum(dtype=np.uint64)
+    return int(fp.astype(np.uint64).view(np.int64))
+
+
+def band_hashes(minhash: np.ndarray, bands: int, rows: int) -> np.ndarray:
+    """Hash each band of r consecutive minhash values (+ band index) into a
+    signed 64-bit bucket key. Vectorized across bands."""
+    mh = minhash.view(np.uint32).astype(np.uint64).reshape(bands, rows)
+    with np.errstate(over="ignore"):
+        h = np.full(bands, _M1, dtype=np.uint64)
+        for j in range(rows):
+            h = (h ^ mh[:, j]) * _M2
+        h ^= np.arange(bands, dtype=np.uint64) * _M1
+    return _mix64(h).view(np.int64)
+
+
+def simhash_band_keys(fp: int, n_bands: int = 4, width: int = 16) -> np.ndarray:
+    """Split a 64-bit simhash into n_bands chunks of `width` bits. Pigeonhole:
+    two fingerprints with Hamming distance <= n_bands-1 share >=1 chunk."""
+    u = np.uint64(np.int64(fp).astype(np.uint64))
+    mask = np.uint64((1 << width) - 1)
+    out = np.empty(n_bands, dtype=np.int64)
+    for i in range(n_bands):
+        chunk = (u >> np.uint64(i * width)) & mask
+        out[i] = np.int64(chunk)
+    return out
+
+
+# --- suffix (exact substring) lane ------------------------------------------
+
+def anchors(text: str, window: int = 16, gap: int = 32) -> np.ndarray:
+    """Content-defined anchor positions: byte offsets where the rolling hash of
+    the preceding `window` bytes is ≡ 0 (mod gap). Two documents sharing a
+    verbatim run produce the *same* anchors inside the run (the property that
+    makes sampled suffixes comparable across docs)."""
+    data = np.frombuffer(text.encode("utf-8", "surrogatepass"), dtype=np.uint8)
+    n = len(data)
+    if n < window:
+        return np.zeros(1 if n else 0, dtype=np.int64)
+    win = np.lib.stride_tricks.sliding_window_view(data, window).astype(np.uint64)
+    with np.errstate(over="ignore"):
+        pows = np.empty(window, dtype=np.uint64)
+        p = np.uint64(1)
+        for i in range(window):
+            pows[window - 1 - i] = p
+            p = p * _M1
+        h = _mix64((win * pows[None, :]).sum(axis=1, dtype=np.uint64))
+    pos = np.nonzero(h % np.uint64(gap) == np.uint64(0))[0] + window  # anchor = end of window
+    pos = pos[pos < n]
+    if len(pos) == 0:
+        return np.zeros(0, dtype=np.int64)
+    return pos.astype(np.int64)
+
+
+def suffixes_for_text(
+    text: str, window: int = 16, gap: int = 32, suffix_len: int = 256, lcp_min: int = 100
+) -> list[str]:
+    """Sampled suffixes (anchor -> anchor+suffix_len chars). Suffixes shorter
+    than lcp_min can never witness a qualifying LCP and are dropped."""
+    out = []
+    for p in anchors(text, window, gap):
+        s = text[int(p) : int(p) + suffix_len]
+        if len(s) >= lcp_min:
+            out.append(s)
+    return out
+
+
+def lcp(a: str, b: str) -> int:
+    """Longest common prefix length of two strings (vectorized over bytes)."""
+    xa = np.frombuffer(a.encode("utf-8", "surrogatepass"), dtype=np.uint8)
+    xb = np.frombuffer(b.encode("utf-8", "surrogatepass"), dtype=np.uint8)
+    n = min(len(xa), len(xb))
+    if n == 0:
+        return 0
+    neq = np.nonzero(xa[:n] != xb[:n])[0]
+    return int(neq[0]) if len(neq) else n
+
+
+def jaccard_sorted(a: np.ndarray, b: np.ndarray) -> float:
+    """Exact Jaccard of two sorted unique uint64/int64 arrays."""
+    if len(a) == 0 and len(b) == 0:
+        return 1.0
+    inter = len(np.intersect1d(a, b, assume_unique=True))
+    return inter / (len(a) + len(b) - inter)
+
+
+def sign_document(
+    text: str,
+    a: np.ndarray,
+    b: np.ndarray,
+    shingle_k: int = 3,
+    bands: int = 32,
+    rows: int = 4,
+    simhash_bands: int = 4,
+    simhash_width: int = 16,
+) -> dict:
+    """One-stop per-document signature bundle (used by oracle and by the
+    batch UDF loop): shingles, minhash, band keys, simhash, simhash band keys."""
+    th = hash_tokens(tokenize(text))
+    sh = shingle_hashes(th, shingle_k)
+    mh = minhash_from_shingles(sh, a, b)
+    # SimHash over shingle (k-gram) features, NOT unigram tokens: documents
+    # drawn from a shared zipfian vocabulary have near-identical unigram
+    # distributions, which collapses unigram-simhash to Hamming ~0 between
+    # unrelated docs. k-gram features keep unrelated docs near Hamming 32.
+    fp = simhash64(sh)
+    return {
+        "shingles": sh.view(np.int64),
+        "n_tokens": int(len(th)),
+        "minhash": mh,
+        "band_keys": band_hashes(mh, bands, rows),
+        "simhash": fp,
+        "simhash_keys": simhash_band_keys(fp, simhash_bands, simhash_width),
+    }
+
+
+def doc_id_from_url(url: str) -> int:
+    """Portable deterministic doc id: first 16 hex chars of md5(url) as a
+    signed int64 (two's complement).  Chosen over xxhash64 because md5 is
+    bit-identical across Python hashlib, Spark SQL and DuckDB, letting the
+    NumPy oracle and SQL oracles share the engine's id space exactly
+    (SURVEY.md §1.2 'point id')."""
+    import hashlib
+
+    v = int(hashlib.md5(url.encode("utf-8")).hexdigest()[:16], 16)
+    return v - (1 << 64) if v >= (1 << 63) else v

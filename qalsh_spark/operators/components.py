@@ -1,0 +1,100 @@
+"""Connected components over the verified edge list, via iterative DataFrame
+self-joins (SURVEY.md §2.3 J5 — absent in the reference, required by the north
+rule for clustering).
+
+Algorithm: min-label propagation with an adjacency that is symmetrized once.
+Each iteration every vertex takes min(own label, neighbors' labels); a
+localCheckpoint truncates the lineage so the plan doesn't grow exponentially.
+Convergence is O(graph diameter) iterations; the pair generator's star rule
+(operators/pairs.py) keeps hot-bucket components at diameter 2, so in practice
+this converges in a handful of rounds even on 10^12-doc inputs.  Each round is
+two shuffles on (vertex) — AQE coalesces the tail.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def connected_components(
+    edges: DataFrame, max_iter: int = 50, verbose: bool = False
+) -> DataFrame:
+    """edges(a, b) -> components(doc_id, cluster_id) for every vertex that
+    appears in an edge. cluster_id = min doc_id in the component."""
+    # Symmetrize with ONE scan via explode instead of a self-union: Spark's
+    # plan canonicalization fails to reuse cache/exchange across self-union
+    # branches (measured 50x slower), and explode halves the input reads at
+    # any scale.
+    sym = (
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
+                    F.struct(F.col("b").alias("src"), F.col("a").alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+        .distinct()
+    )
+    labels = (
+        sym.groupBy("src")
+        .agg(F.least(F.min("dst"), F.first("src")).alias("label"))
+        .withColumnRenamed("src", "doc_id")
+        .withColumn("label", F.least(F.col("label"), F.col("doc_id")))
+        .localCheckpoint()
+    )
+    sym = sym.localCheckpoint()
+
+    for it in range(max_iter):
+        # neighbor-min pass: label'(v) = min(label(v), min_{u~v} label(u))
+        neigh = (
+            sym.join(labels.withColumnRenamed("doc_id", "dst"), on="dst")
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+            .withColumnRenamed("src", "doc_id")
+        )
+        new_labels = (
+            labels.join(neigh, on="doc_id", how="left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if verbose:
+            print(f"[cc] iter={it} changed={changed}")
+        if changed == 0:
+            break
+    return labels.withColumnRenamed("label", "cluster_id")
+
+
+def clusters_with_representatives(
+    components: DataFrame, signatures: DataFrame
+) -> DataFrame:
+    """Join components back to doc metadata and pick a canonical representative
+    per cluster: earliest (warc_ts, url) — FIXTURES.md §3, the reference's
+    min_by analog (SURVEY.md §2.4 A4).  Singletons (docs with no dup edge)
+    are included with cluster_id = own doc_id."""
+    meta = signatures.select("doc_id", "url", "warc_ts")
+    labeled = meta.join(components, on="doc_id", how="left").withColumn(
+        "cluster_id", F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+    )
+    reps = labeled.groupBy("cluster_id").agg(
+        F.min_by("url", F.struct("warc_ts", "url")).alias("representative_url"),
+        F.count("*").alias("cluster_size"),
+    )
+    return labeled.join(reps, on="cluster_id").select(
+        "doc_id", "url", "cluster_id", "representative_url", "cluster_size"
+    )

@@ -1,0 +1,151 @@
+"""The end-to-end dedup pipeline DAG (SURVEY.md §3.4):
+
+ingest -> extract+sign -> bucket -> pairs -> verify -> cluster -> report
+
+Each stage is a pure DataFrame -> DataFrame function; materialization +
+resume is delegated to StageCatalog (checkpoint per stage, skip when a valid
+manifest exists — the analog of the reference's index-reload constructor,
+/root/reference/methods/qalsh.h:322-341).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from qalsh_spark.config import DedupConfig
+from qalsh_spark.functions.signatures import sign_documents, with_doc_id
+from qalsh_spark.operators.banding import explode_all_bands
+from qalsh_spark.operators.components import (
+    clusters_with_representatives,
+    connected_components,
+)
+from qalsh_spark.operators.pairs import candidate_pairs_from_buckets
+from qalsh_spark.operators.suffix import substring_candidate_pairs
+from qalsh_spark.operators.verify import verify_pairs
+from qalsh_spark.sources.catalog import StageCatalog
+
+
+@dataclass
+class DedupResult:
+    signatures: DataFrame
+    pairs: DataFrame
+    edges: DataFrame
+    clusters: DataFrame
+    bucket_stats: DataFrame | None = None
+
+
+class DedupPipeline:
+    def __init__(
+        self,
+        cfg: DedupConfig | None = None,
+        catalog: StageCatalog | None = None,
+        enable_suffix: bool = True,
+        enable_simhash: bool = True,
+    ):
+        self.cfg = cfg or DedupConfig()
+        self.catalog = catalog
+        self.enable_suffix = enable_suffix
+        self.enable_simhash = enable_simhash
+
+    # -- stages ----------------------------------------------------------
+    def sign(self, documents: DataFrame) -> DataFrame:
+        return sign_documents(documents, self.cfg)
+
+    def buckets(self, signatures: DataFrame) -> DataFrame:
+        return explode_all_bands(signatures, include_simhash=self.enable_simhash)
+
+    def candidate_pairs(
+        self, signatures: DataFrame, documents_with_id: DataFrame | None
+    ) -> tuple[DataFrame, DataFrame]:
+        pairs, stats = candidate_pairs_from_buckets(
+            self.buckets(signatures), self.cfg.bucket_cap
+        )
+        if self.enable_suffix and documents_with_id is not None:
+            sfx = substring_candidate_pairs(documents_with_id, self.cfg)
+            pairs = pairs.unionByName(sfx).dropDuplicates(["a", "b", "lane"])
+        return pairs, stats
+
+    def verify(self, pairs: DataFrame, signatures: DataFrame) -> DataFrame:
+        return verify_pairs(pairs, signatures, self.cfg)
+
+    def cluster(self, edges: DataFrame, signatures: DataFrame) -> DataFrame:
+        comp = connected_components(edges)
+        return clusters_with_representatives(comp, signatures)
+
+    # -- end-to-end ------------------------------------------------------
+    def run(
+        self, documents: DataFrame, input_fingerprint: str | None = None
+    ) -> DedupResult:
+        """Run all stages. With a catalog attached, each stage checkpoints
+        and a rerun with identical (config, input) resumes past completed
+        stages."""
+        fp = input_fingerprint or _plan_fingerprint(documents)
+        cat = self.catalog
+
+        def stage(name: str, make) -> DataFrame:
+            if cat is not None and cat.has_valid(name, fp):
+                return cat.read(documents.sparkSession, name)
+            df = make()
+            if cat is not None:
+                df = cat.write(df, name, fp)
+            return df
+
+        signatures = stage("signatures", lambda: self.sign(documents))
+        # Suffix lane reads documents directly (doc_id is a pure md5 column
+        # expression) — no dependency on the signatures plan, so the pairs
+        # union can't trigger a signature recompute.
+        docs_with_id = with_doc_id(_with_text(documents))
+        pairs_holder: dict = {}
+
+        def make_pairs():
+            p, s = self.candidate_pairs(signatures, docs_with_id)
+            pairs_holder["stats"] = s
+            return p
+
+        pairs = stage("pairs", make_pairs)
+        edges = stage("edges", lambda: self.verify(pairs, signatures))
+        clusters = stage("clusters", lambda: self.cluster(edges, signatures))
+        return DedupResult(
+            signatures, pairs, edges, clusters, pairs_holder.get("stats")
+        )
+
+
+def _with_text(documents: DataFrame) -> DataFrame:
+    from qalsh_spark.functions.signatures import extract_text_udf
+
+    if "text" in documents.columns:
+        return documents.select("url", "text")
+    return documents.select("url", extract_text_udf("html").alias("text"))
+
+
+def _plan_fingerprint(df: DataFrame) -> str:
+    """Cheap logical fingerprint of the input (schema + source paths). An
+    Iceberg catalog would pin snapshot_id here instead."""
+    files = []
+    try:
+        files = sorted(f.path for f in df.inputFiles())  # type: ignore[attr-defined]
+    except Exception:
+        try:
+            files = sorted(df.inputFiles())
+        except Exception:
+            files = []
+    payload = (df.schema.json() + "|" + "|".join(files)).encode()
+    return hashlib.sha256(payload).hexdigest()[:16]
+
+
+def run_dedup(
+    spark: SparkSession,
+    documents: DataFrame,
+    cfg: DedupConfig | None = None,
+    checkpoint_root: str | None = None,
+    **kw,
+) -> DedupResult:
+    cfg = cfg or DedupConfig()
+    catalog = (
+        StageCatalog(checkpoint_root, cfg.config_hash()) if checkpoint_root else None
+    )
+    return DedupPipeline(cfg, catalog, **kw).run(documents)

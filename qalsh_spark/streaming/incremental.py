@@ -1,0 +1,39 @@
+"""Incremental signature maintenance via Structured Streaming.
+
+Batch pipeline stages are pure DataFrame->DataFrame functions, so the signing
+stage composes directly with readStream: new documents landing in a directory
+are signed with the same vectorized kernels and appended to the signatures
+table.  Downstream (bucket/pairs/verify/cluster) remains batch — re-run over
+the grown signatures table; a fully streaming CC would need
+applyInPandasWithState and is out of scope per SURVEY.md §2.8.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from qalsh_spark.config import DedupConfig
+from qalsh_spark.functions.signatures import sign_documents
+
+
+def incremental_signatures(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    cfg: DedupConfig | None = None,
+    schema: str = "url string, warc_ts timestamp, html binary, text string, lang string",
+):
+    """Start a stream: parquet documents arriving in input_dir -> signatures
+    appended to output_dir. Returns the StreamingQuery (caller stops it)."""
+    cfg = cfg or DedupConfig()
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    signed: DataFrame = sign_documents(stream, cfg)
+    return (
+        signed.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
