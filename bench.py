@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Also reports docs/hour for the flagship dedup pipeline (the BASELINE.json
+headline metric) under extra keys.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "minhash_dedup_clusters",   # flagship: full dedup pipeline
+    "exact_dup_groups",
+    "token_jaccard_pairs",
+    "simhash_hamming_pairs",
+    "substring_pairs",
+    "knn_bruteforce_cosine",
+    "lsh_ann_topk",
+    "pricing_summary",
+    "topk_orders_per_customer",
+    "region_rollup",
+    "events_daily",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from qalsh_spark.session import get_spark
+    from qalsh_spark.queries import QUERIES
+
+    spark = get_spark(
+        app_name="qalsh-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(int(cpus), 16),
+    )
+    # warm the JVM + Python worker pool so per-query numbers measure the
+    # engine, not process spin-up
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    n_docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        df = QUERIES[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    dedup_wall = timings.get("minhash_dedup_clusters", 0.0) or 1e-9
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "cpus": int(cpus),
+        "n_docs": n_docs,
+        "dedup_docs_per_hour": round(n_docs / dedup_wall * 3600.0, 1),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,595 @@
+"""Driver-contract query registry: every SURVEY.md §2 operator family gets a
+named query with (a) a DataFrame implementation and (b) when SQL-expressible,
+an ANSI-SQL oracle string DuckDB runs on the same parquet tables
+(__spark_entry__.py exposes these as queries()/oracle_sql()).
+
+Cross-engine determinism rules used throughout:
+  - every computed column is aliased identically on both sides;
+  - float aggregates are round()ed (sums of doubles use decimal casts where
+    exactness matters);
+  - top-k windows always carry an id tiebreak, mirroring the reference's
+    (dist, id) ordering (/root/reference/methods/pri_queue.h:38-73).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from qalsh_spark.config import DedupConfig
+from qalsh_spark.functions.text import content_md5, quality_features, token_count_col
+from qalsh_spark.operators.ann import brute_force_topk, cosine_sim, ivf_topk, lsh_topk, l2_sqr, _norm
+from qalsh_spark.operators.dedup import (
+    embedding_near_dup_pairs,
+    exact_dup_groups,
+    token_jaccard_pairs,
+)
+
+SparkQuery = Callable[[SparkSession, str], DataFrame]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# documents lane (exact dedup / text analysis)
+# ---------------------------------------------------------------------------
+
+def q_exact_dup_groups(spark, sf_dir):
+    return exact_dup_groups(_t(spark, sf_dir, "documents")).select(
+        "text_key", "n_dups", "keep_id"
+    )
+
+
+SQL_EXACT_DUP_GROUPS = """
+SELECT md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS text_key,
+       count(*) AS n_dups,
+       min(doc_id) AS keep_id
+FROM documents
+GROUP BY 1
+HAVING count(*) > 1
+"""
+
+
+def q_dedup_survivor_stats(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    keyed = docs.select(content_md5(F.col("text")).alias("k"))
+    return keyed.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("k").alias("n_unique_texts"),
+        (F.count("*") - F.countDistinct("k")).alias("n_redundant"),
+    )
+
+
+SQL_DEDUP_SURVIVOR_STATS = """
+SELECT count(*) AS n_docs,
+       count(DISTINCT md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS n_unique_texts,
+       count(*) - count(DISTINCT md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS n_redundant
+FROM documents
+"""
+
+
+def q_lang_distribution(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+SQL_LANG_DISTRIBUTION = """
+SELECT lang, count(*) AS n_docs,
+       round(avg(n_chars), 2) AS avg_chars,
+       max(n_chars) AS max_chars
+FROM documents GROUP BY lang
+"""
+
+
+def q_token_stats_by_lang(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    ntok = F.size(F.split(F.col("text"), " "))
+    return docs.groupBy("lang").agg(
+        F.round(F.avg(ntok), 2).alias("avg_tokens"),
+        F.min(ntok).alias("min_tokens"),
+        F.max(ntok).alias("max_tokens"),
+    )
+
+
+SQL_TOKEN_STATS_BY_LANG = """
+SELECT lang,
+       round(avg(len(string_split(text, ' '))), 2) AS avg_tokens,
+       min(len(string_split(text, ' '))) AS min_tokens,
+       max(len(string_split(text, ' '))) AS max_tokens
+FROM documents GROUP BY lang
+"""
+
+
+def q_quality_features(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").filter(F.col("n_chars") >= 400)
+    f = quality_features(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.round(f["alpha_ratio"], 4).alias("alpha_ratio"),
+        F.round(f["digit_ratio"], 4).alias("digit_ratio"),
+        f["n_tokens"].alias("n_tokens"),
+    )
+
+
+SQL_QUALITY_FEATURES = """
+SELECT doc_id,
+       round(CASE WHEN length(text) > 0
+             THEN length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0 / length(text)
+             ELSE 0.0 END, 4) AS alpha_ratio,
+       round(CASE WHEN length(text) > 0
+             THEN length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0 / length(text)
+             ELSE 0.0 END, 4) AS digit_ratio,
+       len(regexp_extract_all(text, '[a-zA-Z0-9]+')) AS n_tokens
+FROM documents WHERE n_chars >= 400
+"""
+
+
+def q_top_docs_by_chars(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        docs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("lang", "doc_id", "n_chars", "rnk")
+    )
+
+
+SQL_TOP_DOCS_BY_CHARS = """
+SELECT lang, doc_id, n_chars, rnk FROM (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rnk
+  FROM documents) WHERE rnk <= 3
+"""
+
+
+def q_token_jaccard_pairs(spark, sf_dir):
+    return token_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.4, max_token_df=20
+    )
+
+
+SQL_TOKEN_JACCARD_PAIRS = """
+WITH toks AS (
+  SELECT DISTINCT doc_id, tok
+  FROM documents, unnest(string_split(lower(text), ' ')) AS u(tok)
+  WHERE tok <> ''
+), sizes AS (
+  SELECT doc_id, count(*) AS n_tok FROM toks GROUP BY doc_id
+), dfreq AS (
+  SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY tok
+), rare AS (
+  SELECT t.doc_id, t.tok FROM toks t JOIN dfreq USING (tok) WHERE df <= 20
+), cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM rare x JOIN rare y USING (tok) WHERE x.doc_id < y.doc_id
+), shared AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_shared
+  FROM toks x JOIN toks y USING (tok)
+  WHERE x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT s.a, s.b,
+       round(n_shared * 1.0 / (sa.n_tok + sb.n_tok - n_shared), 4) AS jaccard
+FROM shared s
+JOIN cand USING (a, b)
+JOIN sizes sa ON sa.doc_id = s.a
+JOIN sizes sb ON sb.doc_id = s.b
+WHERE n_shared * 1.0 / (sa.n_tok + sb.n_tok - n_shared) >= 0.4
+"""
+
+
+# ---------------------------------------------------------------------------
+# embeddings lane (ANN / vector ops)
+# ---------------------------------------------------------------------------
+
+def _emb(spark, sf_dir):
+    return _t(spark, sf_dir, "embeddings")
+
+
+def q_knn_bruteforce_cosine(spark, sf_dir):
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    out = brute_force_topk(emb, F.broadcast(queries), k=5)
+    return out.select("qid", "neighbor_id", F.round("score", 3).alias("cos"), "rank")
+
+
+SQL_KNN_BRUTEFORCE_COSINE = """
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 10
+), scored AS (
+  SELECT q.qid, e.vec_id AS neighbor_id,
+         list_dot_product(q.qvec, e.embedding)
+           / (sqrt(list_dot_product(q.qvec, q.qvec)) * sqrt(list_dot_product(e.embedding, e.embedding))) AS score
+  FROM q CROSS JOIN embeddings e
+), ranked AS (
+  SELECT qid, neighbor_id, score,
+         row_number() OVER (PARTITION BY qid ORDER BY score DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT qid, neighbor_id, round(score, 3) AS cos, rank FROM ranked WHERE rank <= 5
+"""
+
+
+def q_centroid_by_label(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    return (
+        emb.select("label", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg("v"), 4).alias("centroid_v"))
+    )
+
+
+SQL_CENTROID_BY_LABEL = """
+SELECT label, CAST(t.i - 1 AS INT) AS dim, round(avg(embedding[t.i]), 4) AS centroid_v
+FROM embeddings
+CROSS JOIN (SELECT unnest(generate_series(1, (SELECT max(len(embedding)) FROM embeddings))) AS i) t
+WHERE t.i <= len(embedding)
+GROUP BY label, dim
+"""
+
+
+def q_vector_norm_topk(spark, sf_dir):
+    """Top-k by L1 norm (embeddings are unit-L2, so L2 would be all ties;
+    L1 of a unit vector varies in [1, sqrt(d)] and discriminates)."""
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    l1 = F.aggregate(F.col("e"), F.lit(0.0), lambda acc, v: acc + F.abs(v))
+    return (
+        emb.select("vec_id", F.round(l1, 3).alias("l1_norm"))
+        .orderBy(F.desc("l1_norm"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+SQL_VECTOR_NORM_TOPK = """
+SELECT vec_id, round(list_sum(list_transform(embedding, x -> abs(x))), 3) AS l1_norm
+FROM embeddings
+ORDER BY list_sum(list_transform(embedding, x -> abs(x))) DESC, vec_id LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# relational operator coverage (TPC-H-ish, maps to SURVEY.md §2.3-2.5)
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: the canonical partial-agg groupBy (SURVEY §2.4 A1-A3
+    analog). Decimal casts make the sums order-independent across engines."""
+    li = _t(spark, sf_dir, "lineitem")
+    d = lambda c: F.col(c).cast("decimal(18,2)")
+    # decimal sums are order-independent; final cast to double so both
+    # engines canonicalize identically
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(d("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(d("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.round(F.avg(d("l_discount")), 4).cast("double").alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(round(avg(CAST(l_discount AS DECIMAL(18,2))), 4) AS DOUBLE) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_topk_orders_per_customer(spark, sf_dir):
+    """Bounded top-k per key — the reference's MinK_List reimagined as a rank
+    window (/root/reference/methods/pri_queue.cc:51-80)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("price"), "rnk")
+    )
+
+
+SQL_TOPK_ORDERS_PER_CUSTOMER = """
+SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price, rnk FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+  FROM orders) WHERE rnk <= 3
+"""
+
+
+def q_collision_count_filter(spark, sf_dir):
+    """The freq[id] > l collision filter (/root/reference/methods/qalsh.h:442-447)
+    as a relational groupBy-count-filter."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_partkey")
+        .agg(F.count("*").alias("n_collisions"))
+        .filter(F.col("n_collisions") >= 8)
+    )
+
+
+SQL_COLLISION_COUNT_FILTER = """
+SELECT l_partkey, count(*) AS n_collisions FROM lineitem
+GROUP BY l_partkey HAVING count(*) >= 8
+"""
+
+
+def q_region_rollup(spark, sf_dir):
+    """Broadcast dim joins (SURVEY §2.3 J3) + agg."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue"),
+        )
+    )
+
+
+SQL_REGION_ROLLUP = """
+SELECT r_name AS region, count(*) AS n_orders,
+       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def q_median_price_by_flag(spark, sf_dir):
+    """Rank-based (discrete) quantiles — the reference's median-based radius
+    update (/root/reference/methods/qalsh.h:852-865).  Discrete selection
+    (value at rank ceil(q*n)) is engine-exact, unlike interpolated
+    percentile whose float interpolation differs at the last ulp."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+    ranked = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("price"),
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("l_returnflag")).alias("cnt"),
+    )
+    return ranked.groupBy("l_returnflag").agg(
+        F.round(
+            F.max(F.when(F.col("rn") == F.ceil(F.col("cnt") * 0.5), F.col("price"))), 2
+        ).alias("median_price"),
+        F.round(
+            F.max(F.when(F.col("rn") == F.ceil(F.col("cnt") * 0.9), F.col("price"))), 2
+        ).alias("p90_price"),
+    )
+
+
+SQL_MEDIAN_PRICE_BY_FLAG = """
+WITH ranked AS (
+  SELECT l_returnflag, l_extendedprice AS price,
+         row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+         count(*) OVER (PARTITION BY l_returnflag) AS cnt
+  FROM lineitem
+)
+SELECT l_returnflag,
+       round(max(CASE WHEN rn = CAST(ceil(cnt * 0.5) AS BIGINT) THEN price END), 2) AS median_price,
+       round(max(CASE WHEN rn = CAST(ceil(cnt * 0.9) AS BIGINT) THEN price END), 2) AS p90_price
+FROM ranked GROUP BY l_returnflag
+"""
+
+
+def q_event_user_set_ops(spark, sf_dir):
+    """Set operations (SURVEY §2.6): users who click but never purchase."""
+    e = _t(spark, sf_dir, "events")
+    clickers = e.filter(F.col("event_type") == "click").select("user_id").distinct()
+    buyers = e.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    return clickers.exceptAll(buyers).agg(F.count("*").alias("n_click_no_buy"))
+
+
+SQL_EVENT_USER_SET_OPS = """
+SELECT count(*) AS n_click_no_buy FROM (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+  EXCEPT
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+"""
+
+
+def q_events_daily(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("DAY", F.col("ts")).alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2).cast("double").alias("sum_value"),
+        )
+    )
+
+
+SQL_EVENTS_DAILY = """
+SELECT date_trunc('day', ts) AS day, event_type, count(*) AS n_events,
+       CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_top_event_type_per_user(spark, sf_dir):
+    """max_by / arg_max analog (SURVEY §2.4 A4) with deterministic ties."""
+    e = _t(spark, sf_dir, "events")
+    counts = e.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("user_id", F.col("event_type").alias("top_event"), "n")
+    )
+
+
+SQL_TOP_EVENT_TYPE_PER_USER = """
+SELECT user_id, event_type AS top_event, n FROM (
+  SELECT user_id, event_type, count(*) AS n,
+         row_number() OVER (PARTITION BY user_id ORDER BY count(*) DESC, event_type) AS rnk
+  FROM events GROUP BY user_id, event_type) WHERE rnk = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# non-SQL-expressible lanes (rows-only driver check; pytest oracle covers
+# semantics): signature pipeline, LSH ANN, suffix pass
+# ---------------------------------------------------------------------------
+
+def _adapted_docs(spark, sf_dir):
+    from qalsh_spark.sources.catalog import adapt_documents
+
+    return adapt_documents(_t(spark, sf_dir, "documents"))
+
+
+def q_minhash_dedup_clusters(spark, sf_dir):
+    """Flagship: full MinHash+SimHash+suffix dedup pipeline -> clusters."""
+    from qalsh_spark.plans.pipeline import DedupPipeline
+
+    res = DedupPipeline(DedupConfig()).run(_adapted_docs(spark, sf_dir))
+    return res.clusters.select("doc_id", "cluster_id", "cluster_size")
+
+
+def q_minhash_signatures(spark, sf_dir):
+    from qalsh_spark.functions.signatures import sign_documents
+
+    sig = sign_documents(_adapted_docs(spark, sf_dir), DedupConfig())
+    return sig.select("doc_id", "n_tokens", "shingle_count", "simhash")
+
+
+def q_simhash_hamming_pairs(spark, sf_dir):
+    """JVM-only Hamming verify over simhash band candidates."""
+    from qalsh_spark.functions.signatures import sign_documents
+    from qalsh_spark.operators.banding import explode_simhash_bands
+    from qalsh_spark.operators.pairs import candidate_pairs_from_buckets
+
+    sig = sign_documents(_adapted_docs(spark, sf_dir), DedupConfig())
+    pairs, _ = candidate_pairs_from_buckets(explode_simhash_bands(sig), 64)
+    fp = sig.select("doc_id", "simhash")
+    return (
+        pairs.join(fp.withColumnsRenamed({"doc_id": "a", "simhash": "fa"}), on="a")
+        .join(fp.withColumnsRenamed({"doc_id": "b", "simhash": "fb"}), on="b")
+        .withColumn("hamming", F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))))
+        .filter(F.col("hamming") <= 3)
+        .select("a", "b", "hamming")
+    )
+
+
+def q_substring_pairs(spark, sf_dir):
+    from qalsh_spark.operators.suffix import substring_candidate_pairs
+    from qalsh_spark.functions.signatures import with_doc_id
+
+    docs = with_doc_id(_adapted_docs(spark, sf_dir))
+    return substring_candidate_pairs(docs, DedupConfig())
+
+
+def q_lsh_ann_topk(spark, sf_dir):
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return lsh_topk(emb, queries, k=5).select(
+        "qid", "neighbor_id", F.round("score", 3).alias("cos"), "rank"
+    )
+
+
+def q_ivf_ann_topk(spark, sf_dir):
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return ivf_topk(emb, queries, k=5).select(
+        "qid", "neighbor_id", F.round("score", 3).alias("cos"), "rank"
+    )
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    return embedding_near_dup_pairs(_emb(spark, sf_dir), threshold=0.95)
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, SparkQuery] = {
+    # documents / dedup lane
+    "exact_dup_groups": q_exact_dup_groups,
+    "dedup_survivor_stats": q_dedup_survivor_stats,
+    "lang_distribution": q_lang_distribution,
+    "token_stats_by_lang": q_token_stats_by_lang,
+    "quality_features": q_quality_features,
+    "top_docs_by_chars": q_top_docs_by_chars,
+    "token_jaccard_pairs": q_token_jaccard_pairs,
+    # embeddings lane
+    "knn_bruteforce_cosine": q_knn_bruteforce_cosine,
+    "centroid_by_label": q_centroid_by_label,
+    "vector_norm_topk": q_vector_norm_topk,
+    # relational coverage
+    "pricing_summary": q_pricing_summary,
+    "topk_orders_per_customer": q_topk_orders_per_customer,
+    "collision_count_filter": q_collision_count_filter,
+    "region_rollup": q_region_rollup,
+    "median_price_by_flag": q_median_price_by_flag,
+    "event_user_set_ops": q_event_user_set_ops,
+    "events_daily": q_events_daily,
+    "top_event_type_per_user": q_top_event_type_per_user,
+    # non-SQL lanes (rows-only)
+    "minhash_dedup_clusters": q_minhash_dedup_clusters,
+    "minhash_signatures": q_minhash_signatures,
+    "simhash_hamming_pairs": q_simhash_hamming_pairs,
+    "substring_pairs": q_substring_pairs,
+    "lsh_ann_topk": q_lsh_ann_topk,
+    "ivf_ann_topk": q_ivf_ann_topk,
+    "embedding_near_dup": q_embedding_near_dup,
+}
+
+ORACLE_SQL: dict[str, str] = {
+    "exact_dup_groups": SQL_EXACT_DUP_GROUPS,
+    "dedup_survivor_stats": SQL_DEDUP_SURVIVOR_STATS,
+    "lang_distribution": SQL_LANG_DISTRIBUTION,
+    "token_stats_by_lang": SQL_TOKEN_STATS_BY_LANG,
+    "quality_features": SQL_QUALITY_FEATURES,
+    "top_docs_by_chars": SQL_TOP_DOCS_BY_CHARS,
+    "token_jaccard_pairs": SQL_TOKEN_JACCARD_PAIRS,
+    "knn_bruteforce_cosine": SQL_KNN_BRUTEFORCE_COSINE,
+    "centroid_by_label": SQL_CENTROID_BY_LABEL,
+    "vector_norm_topk": SQL_VECTOR_NORM_TOPK,
+    "pricing_summary": SQL_PRICING_SUMMARY,
+    "topk_orders_per_customer": SQL_TOPK_ORDERS_PER_CUSTOMER,
+    "collision_count_filter": SQL_COLLISION_COUNT_FILTER,
+    "region_rollup": SQL_REGION_ROLLUP,
+    "median_price_by_flag": SQL_MEDIAN_PRICE_BY_FLAG,
+    "event_user_set_ops": SQL_EVENT_USER_SET_OPS,
+    "events_daily": SQL_EVENTS_DAILY,
+    "top_event_type_per_user": SQL_TOP_EVENT_TYPE_PER_USER,
+}
