@@ -22,6 +22,9 @@ def connected_components(
 ) -> DataFrame:
     """edges(a, b) -> components(doc_id, cluster_id) for every vertex that
     appears in an edge. cluster_id = min doc_id in the component."""
+    import time as _time
+
+    _t0 = _time.time()
     # Symmetrize with ONE scan via explode instead of a self-union: Spark's
     # plan canonicalization fails to reuse cache/exchange across self-union
     # branches (measured 50x slower), and explode halves the input reads at
@@ -38,6 +41,9 @@ def connected_components(
         .select("e.src", "e.dst")
         .distinct()
     )
+    sym = sym.localCheckpoint()
+    if verbose:
+        print(f"[cc] sym ckpt {_time.time()-_t0:.1f}s")
     labels = (
         sym.groupBy("src")
         .agg(F.least(F.min("dst"), F.first("src")).alias("label"))
@@ -45,7 +51,8 @@ def connected_components(
         .withColumn("label", F.least(F.col("label"), F.col("doc_id")))
         .localCheckpoint()
     )
-    sym = sym.localCheckpoint()
+    if verbose:
+        print(f"[cc] labels init {_time.time()-_t0:.1f}s")
 
     for it in range(max_iter):
         # neighbor-min pass: label'(v) = min(label(v), min_{u~v} label(u))
@@ -74,7 +81,7 @@ def connected_components(
         )
         labels = new_labels
         if verbose:
-            print(f"[cc] iter={it} changed={changed}")
+            print(f"[cc] iter={it} changed={changed} t={_time.time()-_t0:.1f}s")
         if changed == 0:
             break
     return labels.withColumnRenamed("label", "cluster_id")

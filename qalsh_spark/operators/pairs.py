@@ -1,4 +1,4 @@
-"""Skew-safe candidate-pair generation from equality buckets.
+"""Skew-safe candidate-pair generation from equality buckets — pure JVM.
 
 The reference turns bucket collisions into candidates via a per-id collision
 counter `++freq[id]` with threshold `l` (/root/reference/methods/qalsh.h:442-447).
@@ -7,95 +7,125 @@ of l/m — SURVEY.md §2.2 P2); dedup across the bands that both docs share is a
 `dropDuplicates`, the distributed `checked[id]` (methods/qalsh.h:443).
 
 Skew design (SURVEY.md §4 "skew handling", north-rule mandate):
-  - bucket sizes are computed FIRST with a map-side-combinable groupBy count;
-  - buckets with size <= bucket_cap emit all C(size,2) pairs via a bounded
-    applyInPandas (group height capped, so no task can blow up);
+  - bucket sizes come from a map-side-combinable groupBy count; the join back
+    is an equi-join on the bucket key that AQE skew-splits;
+  - buckets with size <= bucket_cap emit all C(size,2) pairs via
+    collect_list (array bounded by the cap) + a nested `transform` +
+    `explode` — whole-stage-codegen JVM, no Python, no per-group pandas
+    overhead (a pandas-per-group version measured ~17 s on 7k groups after
+    AQE coalesced them into one task; this runs in <1 s);
   - hot buckets (boilerplate pages: size up to millions) switch to STAR
-    pairing — every member pairs with the bucket's min doc_id, computed with
-    an aggregate + re-join (both shuffle on the bucket key and are AQE
-    skew-splittable; no giant collect_list, no single-task sort anywhere).
-    Star keeps the bucket connected for clustering with graph diameter 2,
-    which is exactly what connected components needs, at n-1 edges instead of
-    O(n^2).  Dropped all-pairs edges in hot buckets are recovered
+    pairing — every member pairs with the bucket's min doc_id, a projection
+    after the size join (no giant collect_list, no single-task sort).  Star
+    keeps the bucket connected for clustering with graph diameter 2 at n-1
+    edges instead of O(n^2); dropped all-pairs edges are recovered
     transitively through verification + clustering (hot buckets are
-    boilerplate near-identical docs by construction).
-  - per-bucket pair counts are logged to the lineage table, so "silently
-    dropped" never happens (no-silent-caps rule).
+    near-identical docs by construction);
+  - elided pair counts are reported in bucket_stats (no-silent-caps rule).
+
+An optional `payload` column (e.g. the suffix string in the substring lane)
+rides along: pairs carry (payload_a, payload_b) for pair-level verification.
 """
 
 from __future__ import annotations
 
-from typing import Iterator
-
-import numpy as np
-import pandas as pd
 import pyspark.sql.functions as F
-import pyspark.sql.types as T
 from pyspark.sql import DataFrame
 
-_PAIR_SCHEMA = T.StructType(
-    [
-        T.StructField("a", T.LongType()),
-        T.StructField("b", T.LongType()),
-        T.StructField("lane", T.StringType()),
-    ]
-)
 
+def _pair_structs(ids_col, with_payload: bool):
+    """All (i < j) pairs from a sorted array<struct<doc_id, payload?>> via
+    nested transform — JVM-side combinatorics."""
 
-def _allpairs_fn(pdf: pd.DataFrame) -> pd.DataFrame:
-    """All C(n,2) pairs within one (lane, band_id, band_key) bucket, n <= cap.
-    NumPy triangular indices — no Python pair loop."""
-    ids = np.sort(pdf["doc_id"].to_numpy(np.int64))
-    n = len(ids)
-    if n < 2:
-        return pd.DataFrame({"a": [], "b": [], "lane": []}).astype(
-            {"a": "int64", "b": "int64", "lane": "object"}
+    def inner(x, i):
+        rest = F.slice(ids_col, i + F.lit(2), F.size(ids_col))
+        if with_payload:
+            return F.transform(
+                rest,
+                lambda y: F.struct(
+                    x["doc_id"].alias("a"),
+                    y["doc_id"].alias("b"),
+                    x["payload"].alias("payload_a"),
+                    y["payload"].alias("payload_b"),
+                ),
+            )
+        return F.transform(
+            rest, lambda y: F.struct(x["doc_id"].alias("a"), y["doc_id"].alias("b"))
         )
-    iu, ju = np.triu_indices(n, k=1)
-    return pd.DataFrame(
-        {"a": ids[iu], "b": ids[ju], "lane": pdf["lane"].iat[0]}
-    )
+
+    return F.flatten(F.transform(ids_col, inner))
 
 
 def candidate_pairs_from_buckets(
-    buckets: DataFrame, bucket_cap: int = 64, materialize: bool = True
+    buckets: DataFrame,
+    bucket_cap: int = 64,
+    payload_col: str | None = None,
+    dedup: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
-    """buckets(doc_id, lane, band_id, band_key) -> (pairs(a,b,lane) deduped,
-    bucket_stats for lineage).  a < b always.
+    """buckets(doc_id, lane, band_id, band_key[, payload]) ->
+    (pairs(a, b, lane[, payload_a, payload_b]) deduped, bucket_stats).
+    a < b always; doc order inside a bucket is ascending doc_id, so the
+    pair set is deterministic (oracle parity).
 
-    `materialize` localCheckpoints the sized-bucket join once so the
-    small/big branches don't recompute it (self-union branches miss Spark's
-    cache/exchange reuse).  In the catalog-backed pipeline the bucket stage is
-    parquet-checkpointed anyway, which serves the same purpose durably.
-    """
+    With a payload, callers that verify on the payload must pass dedup=False
+    and dedupe AFTER verification: the same (a, b) can surface from several
+    buckets with different payloads, and an arbitrary pre-verify dedup could
+    keep only the failing one."""
     keys = ["lane", "band_id", "band_key"]
+    with_payload = payload_col is not None
 
-    # Partial-agg (map-side combine) makes the count skew-tolerant; the join
-    # back is an equi-join on the bucket key that AQE skew-splits.  No window
-    # over the bucket is used anywhere: a window would force each hot bucket
-    # into a single task's sort.
+    cols = [F.col("doc_id")] + (
+        [F.col(payload_col).alias("payload")] if with_payload else []
+    )
     sizes = buckets.groupBy(*keys).agg(
-        F.count("*").alias("bucket_size"), F.min("doc_id").alias("hub")
+        F.count("*").alias("bucket_size"),
+        F.min("doc_id").alias("hub"),
     )
-    with_size = buckets.join(sizes.filter(F.col("bucket_size") >= 2), on=keys)
-    if materialize:
-        with_size = with_size.localCheckpoint()
+    member_cols = [F.col("doc_id")] + ([F.col("payload")] if with_payload else [])
+    with_size = buckets.select(*keys, *cols).join(
+        sizes.filter(F.col("bucket_size") >= 2), on=keys
+    )
 
-    small = with_size.filter(F.col("bucket_size") <= bucket_cap)
-    small_pairs = (
-        small.select(*keys, "doc_id")
+    # small buckets: bounded collect_list -> JVM all-pairs
+    small_arrays = (
+        with_size.filter(F.col("bucket_size") <= bucket_cap)
         .groupBy(*keys)
-        .applyInPandas(_allpairs_fn, schema=_PAIR_SCHEMA)
+        .agg(F.array_sort(F.collect_list(F.struct(*member_cols))).alias("members"))
     )
-
-    big = with_size.filter(F.col("bucket_size") > bucket_cap)
-    big_pairs = big.filter(F.col("doc_id") != F.col("hub")).select(
-        F.least("hub", "doc_id").alias("a"),
-        F.greatest("hub", "doc_id").alias("b"),
+    small_sel = ["pair.a", "pair.b", "lane"] + (
+        ["pair.payload_a", "pair.payload_b"] if with_payload else []
+    )
+    small_pairs = small_arrays.select(
         "lane",
-    )
+        F.explode(_pair_structs(F.col("members"), with_payload)).alias("pair"),
+    ).select(*small_sel)
 
-    pairs = small_pairs.unionByName(big_pairs).dropDuplicates(["a", "b", "lane"])
+    # hot buckets: star to the hub (min doc_id) — projection, no grouping
+    big = with_size.filter(
+        (F.col("bucket_size") > bucket_cap) & (F.col("doc_id") != F.col("hub"))
+    )
+    if with_payload:
+        hub_payload = (
+            with_size.filter(F.col("bucket_size") > bucket_cap)
+            .groupBy(*keys)
+            .agg(F.min_by("payload", "doc_id").alias("hub_payload"))
+        )
+        big = big.join(hub_payload, on=keys)
+        big_pairs = big.select(
+            F.col("hub").alias("a"),
+            F.col("doc_id").alias("b"),
+            "lane",
+            F.col("hub_payload").alias("payload_a"),
+            F.col("payload").alias("payload_b"),
+        )
+    else:
+        big_pairs = big.select(
+            F.col("hub").alias("a"), F.col("doc_id").alias("b"), "lane"
+        )
+
+    pairs = small_pairs.unionByName(big_pairs)
+    if dedup:
+        pairs = pairs.dropDuplicates(["a", "b", "lane"])
 
     stats = sizes.groupBy("lane").agg(
         F.count("*").alias("n_buckets"),
@@ -114,8 +144,3 @@ def candidate_pairs_from_buckets(
         .alias("pairs_elided_by_star"),
     )
     return pairs, stats
-
-
-def _allpairs_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    for pdf in batches:
-        yield _allpairs_fn(pdf)

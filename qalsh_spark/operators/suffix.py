@@ -11,14 +11,17 @@ walk neighbors in order).  The scalable Spark reimagination:
      place anchors at the same content offsets inside the run, so they emit
      comparable suffixes without any global alignment;
   2. bucket suffixes by their first `suffix_prefix` chars — any two suffixes
-     with LCP >= lcp_min (> suffix_prefix) are necessarily in the same bucket,
-     so equality bucketing replaces the global sort + neighbor sweep (and
-     reuses the exact skew machinery of operators/pairs.py);
-  3. within a bucket, verify LCP >= lcp_min on the (suffix_a, suffix_b) pair
-     and emit the (doc_a, doc_b) edge, lane='suffix'.
+     with LCP >= lcp_min (> suffix_prefix) are necessarily in the same
+     bucket, so equality bucketing replaces the global sort + neighbor sweep
+     and REUSES the generic skew-safe pair operator (operators/pairs.py:
+     bounded JVM all-pairs for small buckets, star-to-hub for hot boilerplate
+     prefixes) with the suffix string as the pair payload;
+  3. verify LCP >= lcp_min on each (suffix_a, suffix_b) pair — a vectorized
+     Arrow batch UDF over pair rows (not per-group pandas) — and emit the
+     (doc_a, doc_b) edge, lane='suffix'.
 
-No global orderBy, no single-partition window — the whole lane is
-groupBy-shaped and AQE/skew-safe.
+No global orderBy, no single-partition window, no unbounded collect —
+the whole lane is groupBy-shaped and AQE/skew-safe.
 """
 
 from __future__ import annotations
@@ -33,6 +36,7 @@ from pyspark.sql import DataFrame
 
 from qalsh_spark import kernels as K
 from qalsh_spark.config import DedupConfig
+from qalsh_spark.operators.pairs import candidate_pairs_from_buckets
 
 _SUFFIX_SCHEMA = T.StructType(
     [
@@ -41,13 +45,7 @@ _SUFFIX_SCHEMA = T.StructType(
     ]
 )
 
-_SUFFIX_PAIR_SCHEMA = T.StructType(
-    [
-        T.StructField("a", T.LongType()),
-        T.StructField("b", T.LongType()),
-        T.StructField("lcp", T.IntegerType()),
-    ]
-)
+SUFFIX_BUCKET_CAP = 32
 
 
 def _emit_suffixes(cfg: DedupConfig):
@@ -55,9 +53,7 @@ def _emit_suffixes(cfg: DedupConfig):
         for pdf in batches:
             ids: list[int] = []
             sufs: list[str] = []
-            for doc_id, text in zip(
-                pdf["doc_id"].to_numpy(), pdf["text"].to_numpy()
-            ):
+            for doc_id, text in zip(pdf["doc_id"].to_numpy(), pdf["text"].to_numpy()):
                 for s in K.suffixes_for_text(
                     text or "",
                     cfg.suffix_window,
@@ -74,73 +70,45 @@ def _emit_suffixes(cfg: DedupConfig):
     return fn
 
 
-def _bucket_pairs(cfg: DedupConfig):
-    """Within one prefix bucket: pair suffixes from DISTINCT docs, verify LCP.
-    Buckets are pre-capped upstream (same star/cap discipline as pairs.py is
-    unnecessary here because we first dropDuplicates per (doc, bucket) and cap
-    group size via sampling in SQL before this runs)."""
-
-    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        # one suffix per doc per bucket (they share the bucket prefix anyway)
-        pdf = pdf.sort_values(["doc_id", "suffix"]).drop_duplicates("doc_id")
-        n = len(pdf)
-        if n < 2:
-            return pd.DataFrame({"a": [], "b": [], "lcp": []}).astype(
-                {"a": "int64", "b": "int64", "lcp": "int32"}
-            )
-        ids = pdf["doc_id"].to_numpy(np.int64)
-        sufs = pdf["suffix"].to_numpy()
-        order = np.argsort(ids)
-        ids, sufs = ids[order], sufs[order]
-        iu, ju = np.triu_indices(n, k=1)
-        lcps = np.fromiter(
-            (K.lcp(sufs[i], sufs[j]) for i, j in zip(iu, ju)),
-            dtype=np.int32,
-            count=len(iu),
-        )
-        keep = lcps >= cfg.lcp_min
-        return pd.DataFrame({"a": ids[iu][keep], "b": ids[ju][keep], "lcp": lcps[keep]})
-
-    return fn
+@F.pandas_udf(T.IntegerType())
+def lcp_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    out = np.empty(len(a), dtype=np.int32)
+    for i in range(len(a)):
+        out[i] = K.lcp(a.iat[i] or "", b.iat[i] or "")
+    return pd.Series(out)
 
 
 def substring_candidate_pairs(
-    documents_with_id: DataFrame, cfg: DedupConfig, bucket_cap: int = 32
+    documents_with_id: DataFrame,
+    cfg: DedupConfig,
+    bucket_cap: int = SUFFIX_BUCKET_CAP,
 ) -> DataFrame:
-    """documents(doc_id, text) -> suffix-lane pairs(a, b, lane='suffix').
-
-    Hot prefix buckets (shared boilerplate openings) are capped: we keep the
-    `bucket_cap` lexicographically-smallest (doc_id-smallest) members per
-    bucket via a window rank — boilerplate runs recur across thousands of
-    docs and are exact dups that the minhash/exact lanes already link;
-    the elided count is observable in lineage via the rank column.
-    """
+    """documents(doc_id, text) -> suffix-lane pairs(a, b, lane='suffix'),
+    LCP-verified."""
     suffixes = documents_with_id.select("doc_id", "text").mapInPandas(
         _emit_suffixes(cfg), schema=_SUFFIX_SCHEMA
     )
     # deterministic representative per (doc, bucket): the MIN suffix — the
-    # oracle replicates this rule exactly (arbitrary dropDuplicates would
-    # break cross-engine parity).
-    bucketed = (
+    # oracle replicates this rule (arbitrary dropDuplicates would break
+    # cross-engine parity)
+    buckets = (
         suffixes.withColumn(
-            "bucket", F.xxhash64(F.substring("suffix", 1, cfg.suffix_prefix))
+            "band_key", F.xxhash64(F.substring("suffix", 1, cfg.suffix_prefix))
         )
-        .groupBy("doc_id", "bucket")
+        .groupBy("doc_id", "band_key")
         .agg(F.min("suffix").alias("suffix"))
+        .select(
+            "doc_id",
+            F.lit("suffix").alias("lane"),
+            F.lit(0).alias("band_id"),
+            "band_key",
+            "suffix",
+        )
     )
-
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("bucket").orderBy("doc_id", "suffix")
-    capped = (
-        bucketed.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= bucket_cap)
-        .drop("rk")
+    pairs, _stats = candidate_pairs_from_buckets(
+        buckets, bucket_cap=bucket_cap, payload_col="suffix", dedup=False
     )
-    pairs = (
-        capped.groupBy("bucket")
-        .applyInPandas(_bucket_pairs(cfg), schema=_SUFFIX_PAIR_SCHEMA)
-        .dropDuplicates(["a", "b"])
-        .select("a", "b", F.lit("suffix").alias("lane"))
-    )
-    return pairs
+    verified = pairs.withColumn(
+        "lcp", lcp_udf(F.col("payload_a"), F.col("payload_b"))
+    ).filter(F.col("lcp") >= cfg.lcp_min)
+    return verified.select("a", "b", "lane").dropDuplicates(["a", "b"])

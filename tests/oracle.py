@@ -124,13 +124,20 @@ def run_oracle(
                     per_doc[pref] = s
             for pref, s in per_doc.items():
                 sbuckets[pref][d] = s
-        SUFFIX_BUCKET_CAP = 32
+        from qalsh_spark.operators.suffix import SUFFIX_BUCKET_CAP
+
         for pref, docmap in sbuckets.items():
-            ds = sorted(docmap)[:SUFFIX_BUCKET_CAP]
-            for x in range(len(ds)):
-                for y in range(x + 1, len(ds)):
-                    if K.lcp(docmap[ds[x]], docmap[ds[y]]) >= cfg.lcp_min:
-                        pairs.add((ds[x], ds[y], "suffix"))
+            ds = sorted(docmap)
+            if len(ds) <= SUFFIX_BUCKET_CAP:
+                for x in range(len(ds)):
+                    for y in range(x + 1, len(ds)):
+                        if K.lcp(docmap[ds[x]], docmap[ds[y]]) >= cfg.lcp_min:
+                            pairs.add((ds[x], ds[y], "suffix"))
+            else:  # star rule (operators/pairs.py hot-bucket parity)
+                hub = ds[0]
+                for m in ds[1:]:
+                    if K.lcp(docmap[hub], docmap[m]) >= cfg.lcp_min:
+                        pairs.add((hub, m, "suffix"))
 
     # --- verify (operators/verify.py per-lane rules) --------------------
     edges: set[tuple[int, int]] = set()
