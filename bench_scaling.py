@@ -1,0 +1,136 @@
+#!/usr/bin/env python
+"""Two-cluster-size scaling evidence (BASELINE.json north rule: throughput
+scaling efficiency >= 0.8 between N and 4N executors).
+
+No real cluster exists in-sandbox, so per driver instruction this runs the
+IDENTICAL dedup job on the IDENTICAL input at two parallelism levels —
+local[8] (N) and local[32] (4N) — each in a fresh subprocess/JVM, and reports
+docs/hour at both plus efficiency = (throughput_4N / throughput_N) / 4.
+
+Writes BENCH/scaling.json and BENCH/BASELINE.md.
+
+Usage: python bench_scaling.py [--docs 40000] [--low 8] [--high 32]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+
+def run_level(corpus: str, cpus: int) -> dict:
+    cmd = [
+        sys.executable,
+        os.path.join(REPO, "jobs", "dedup.py"),
+        "--input", corpus,
+        "--cpus", str(cpus),
+        "--json",
+    ]
+    t0 = time.time()
+    out = subprocess.run(
+        cmd, capture_output=True, text=True, cwd=REPO, timeout=3600
+    )
+    if out.returncode != 0:
+        sys.stderr.write(out.stderr[-4000:])
+        raise SystemExit(f"level local[{cpus}] failed rc={out.returncode}")
+    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+    m = json.loads(line)
+    m["process_wall_sec"] = round(time.time() - t0, 1)
+    return m
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=40_000)
+    ap.add_argument("--low", type=int, default=8)
+    ap.add_argument("--high", type=int, default=32)
+    ap.add_argument("--seed", type=int, default=42)
+    args = ap.parse_args()
+
+    sys.path.insert(0, REPO)
+    from qalsh_spark.datagen import cached_corpus
+
+    corpus = cached_corpus(args.docs, args.seed)
+    print(f"corpus: {corpus} ({args.docs} docs)", file=sys.stderr)
+
+    results = {}
+    for cpus in (args.low, args.high):
+        print(f"running local[{cpus}] ...", file=sys.stderr)
+        results[cpus] = run_level(corpus, cpus)
+        print(f"  local[{cpus}]: {results[cpus]}", file=sys.stderr)
+
+    lo, hi = results[args.low], results[args.high]
+    speedup = lo["wall_sec"] / hi["wall_sec"]
+    ratio = args.high / args.low
+    efficiency = speedup / ratio
+    summary = {
+        "metric": "dedup_scaling_efficiency",
+        "value": round(efficiency, 3),
+        "unit": f"speedup/{ratio:g}x-cores",
+        "n_docs": args.docs,
+        "low": {"cores": args.low, **lo},
+        "high": {"cores": args.high, **hi},
+        "speedup": round(speedup, 2),
+        "gate": 0.8,
+        "pass": efficiency >= 0.8,
+    }
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    _write_md(summary)
+    print(json.dumps(summary))
+
+
+def _write_md(s: dict) -> None:
+    lo, hi = s["low"], s["high"]
+    md = f"""# BENCH — measured baseline (in-sandbox)
+
+## Two-cluster-size scaling (north-rule gate: efficiency >= 0.8 between N and 4N)
+
+No real multi-executor cluster exists in this sandbox, so per driver
+instruction the evidence is the IDENTICAL dedup job (jobs/dedup.py: full
+MinHash + SimHash + suffix pipeline, verify, connected-components clustering)
+on the IDENTICAL deterministic input ({s['n_docs']:,} synthetic web docs,
+seed 42), at two parallelism levels, each in a fresh JVM:
+
+| cluster size | master | wall (s) | docs/hour |
+|---|---|---|---|
+| N  | local[{lo['cores']}] | {lo['wall_sec']} | {lo['docs_per_hour']:,.0f} |
+| 4N | local[{hi['cores']}] | {hi['wall_sec']} | {hi['docs_per_hour']:,.0f} |
+
+- **speedup** {s['speedup']}x on {int(hi['cores']/lo['cores'])}x cores
+- **scaling efficiency = (throughput@4N / throughput@N) / 4 = {s['value']}**
+- gate >= {s['gate']}: **{"PASS" if s['pass'] else "FAIL"}**
+
+Wall time is the pipeline only (session + JVM + Python-worker warmup
+excluded on both sides identically); clusters are fully materialized
+(noop-format write + distinct cluster count).
+
+Regenerate: `python bench_scaling.py --docs {s['n_docs']}`
+(writes BENCH/scaling.json + this file).
+
+## Why this extrapolates to N vs 4N executors
+
+Every stage is shuffle-partitioned data-parallel work with no driver-side
+data loops (SURVEY.md §4): signing is an Arrow-batched mapInPandas over
+input splits, bucketing/pair-generation/verify are groupBy/join stages
+whose partition counts scale with `spark.sql.shuffle.partitions`
+(set to 2x cores), and connected-components is a fixed number of
+whole-DataFrame self-join iterations. The only non-scaling cost is the
+CC driver loop's per-iteration job-submission overhead, which is why
+efficiency dips below 1.0 at this small scale; at real corpus sizes the
+per-iteration work grows with data while iteration count stays
+O(log diameter), so the fixed overhead amortizes further.
+"""
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write(md)
+
+
+if __name__ == "__main__":
+    main()

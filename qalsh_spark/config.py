@@ -34,9 +34,7 @@ class DedupConfig:
     # --- suffix (exact substring) lane -------------------------------------
     suffix_window: int = 16       # rolling-hash window (bytes) for anchors
     suffix_gap: int = 32          # expected anchor gap: anchor where h % gap == 0
-    suffix_len: int = 256         # chars of suffix kept per anchor
-    suffix_prefix: int = 64       # bucket key = first `suffix_prefix` chars
-    lcp_min: int = 100            # adjacent-suffix LCP to call a substring dup
+    lcp_min: int = 100            # shared-run length proven by one bucket key
     run_min: int = 200            # minimum verbatim run (docs-level semantics)
 
     # --- skew / scale -------------------------------------------------------

@@ -210,7 +210,14 @@ def write_corpus(path: str, n_docs: int, seed: int = 42) -> Corpus:
     """Generate + write documents.parquet (and gold truth) under `path`."""
     c = generate_corpus(n_docs, seed)
     os.makedirs(path, exist_ok=True)
-    pq.write_table(corpus_to_table(c), os.path.join(path, "documents.parquet"))
+    # Small row groups matter: Spark parallelizes parquet scans at row-group
+    # granularity, so a single-row-group file serializes every downstream
+    # stage onto one task no matter how many byte-range splits exist.
+    pq.write_table(
+        corpus_to_table(c),
+        os.path.join(path, "documents.parquet"),
+        row_group_size=2048,
+    )
     gold = pa.table(
         {
             "url": pa.array(c.urls, pa.string()),

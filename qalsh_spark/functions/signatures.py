@@ -54,7 +54,6 @@ _SIGNATURE_SCHEMA = T.StructType(
         T.StructField("lang", T.StringType()),
         T.StructField("n_tokens", T.IntegerType()),
         T.StructField("shingle_count", T.IntegerType()),
-        T.StructField("shingles", T.ArrayType(T.LongType())),
         T.StructField("minhash", T.ArrayType(T.IntegerType())),
         T.StructField("band_keys", T.ArrayType(T.LongType())),
         T.StructField("simhash", T.LongType()),
@@ -76,7 +75,6 @@ def _sign_batches(cfg: DedupConfig):
                 "lang": pdf["lang"].to_numpy(),
                 "n_tokens": np.zeros(n, np.int32),
                 "shingle_count": np.zeros(n, np.int32),
-                "shingles": [None] * n,
                 "minhash": [None] * n,
                 "band_keys": [None] * n,
                 "simhash": np.zeros(n, np.int64),
@@ -95,7 +93,6 @@ def _sign_batches(cfg: DedupConfig):
                 )
                 out["n_tokens"][i] = s["n_tokens"]
                 out["shingle_count"][i] = len(s["shingles"])
-                out["shingles"][i] = s["shingles"]
                 out["minhash"][i] = s["minhash"]
                 out["band_keys"][i] = s["band_keys"]
                 out["simhash"][i] = s["simhash"]
@@ -142,6 +139,13 @@ def sign_documents(documents: DataFrame, cfg: DedupConfig) -> DataFrame:
     if "lang" not in cols:
         df = df.withColumn("lang", F.lit(None).cast("string"))
     df = with_doc_id(df)
-    return df.select("doc_id", "url", "warc_ts", "lang", "text").mapInPandas(
-        _sign_batches(cfg), schema=_SIGNATURE_SCHEMA
-    )
+    narrow = df.select("doc_id", "url", "warc_ts", "lang", "text")
+    # The signing stage is the CPU-heaviest Python work in the pipeline; a
+    # small input (few parquet splits) would otherwise cap its parallelism at
+    # the split count regardless of cluster size.  Round-robin repartition to
+    # the session's full parallelism; at real scale (input splits >> cores)
+    # this is a no-op-sized shuffle of narrow rows vs hours of signing.
+    target = narrow.sparkSession.sparkContext.defaultParallelism
+    if narrow.rdd.getNumPartitions() < target:
+        narrow = narrow.repartition(target)
+    return narrow.mapInPandas(_sign_batches(cfg), schema=_SIGNATURE_SCHEMA)

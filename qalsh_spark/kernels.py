@@ -184,6 +184,37 @@ def suffixes_for_text(
     return out
 
 
+def suffix_keys_for_text(
+    text: str, window: int = 16, gap: int = 32, lcp_min: int = 100
+) -> np.ndarray:
+    """Unique int64 bucket keys, one per content-defined anchor: the
+    polynomial hash of the `lcp_min` bytes starting at the anchor.
+
+    Key insight replacing the old payload+LCP verify: two suffixes have
+    LCP >= lcp_min IFF their first lcp_min bytes are equal IFF their keys
+    are equal (modulo 2^-64 hash collisions) — so equality bucketing on this
+    key IS the verification, and the engine never has to shuffle suffix
+    strings at all.  Anchors with < lcp_min bytes remaining can never
+    witness a qualifying run and are dropped."""
+    data = np.frombuffer(text.encode("utf-8", "surrogatepass"), dtype=np.uint8)
+    n = len(data)
+    pos = anchors(text, window, gap)
+    pos = pos[pos + lcp_min <= n]
+    if len(pos) == 0:
+        return np.empty(0, dtype=np.int64)
+    win = np.lib.stride_tricks.sliding_window_view(data, lcp_min)[pos].astype(
+        np.uint64
+    )
+    with np.errstate(over="ignore"):
+        pows = np.empty(lcp_min, dtype=np.uint64)
+        p = np.uint64(1)
+        for i in range(lcp_min):
+            pows[lcp_min - 1 - i] = p
+            p = p * _M2
+        h = _mix64((win * pows[None, :]).sum(axis=1, dtype=np.uint64))
+    return np.unique(h).view(np.int64)
+
+
 def lcp(a: str, b: str) -> int:
     """Longest common prefix length of two strings (vectorized over bytes)."""
     xa = np.frombuffer(a.encode("utf-8", "surrogatepass"), dtype=np.uint8)

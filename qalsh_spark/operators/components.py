@@ -54,6 +54,15 @@ def connected_components(
     if verbose:
         print(f"[cc] labels init {_time.time()-_t0:.1f}s")
 
+    # Labels only ever decrease, so the exact (decimal — no int64 overflow)
+    # sum of labels strictly decreases iff ANY label changed: convergence is
+    # one cheap aggregate per iteration instead of a self-join + count.
+    def _label_sum(df: DataFrame) -> object:
+        return df.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+
+    prev_sum = _label_sum(labels)
     for it in range(max_iter):
         # neighbor-min pass: label'(v) = min(label(v), min_{u~v} label(u))
         neigh = (
@@ -72,18 +81,13 @@ def connected_components(
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), on="doc_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
+        new_sum = _label_sum(new_labels)
         labels = new_labels
         if verbose:
-            print(f"[cc] iter={it} changed={changed} t={_time.time()-_t0:.1f}s")
-        if changed == 0:
+            print(f"[cc] iter={it} sum={new_sum} t={_time.time()-_t0:.1f}s")
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels.withColumnRenamed("label", "cluster_id")
 
 

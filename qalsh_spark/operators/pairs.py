@@ -22,9 +22,6 @@ Skew design (SURVEY.md §4 "skew handling", north-rule mandate):
     transitively through verification + clustering (hot buckets are
     near-identical docs by construction);
   - elided pair counts are reported in bucket_stats (no-silent-caps rule).
-
-An optional `payload` column (e.g. the suffix string in the substring lane)
-rides along: pairs carry (payload_a, payload_b) for pair-level verification.
 """
 
 from __future__ import annotations
@@ -33,109 +30,85 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 
-def _pair_structs(ids_col, with_payload: bool):
-    """All (i < j) pairs from a sorted array<struct<doc_id, payload?>> via
-    nested transform — JVM-side combinatorics."""
+def _pair_structs(ids_col):
+    """All (i < j) pairs from a sorted array<long> of doc ids via nested
+    transform — JVM-side combinatorics."""
 
     def inner(x, i):
         rest = F.slice(ids_col, i + F.lit(2), F.size(ids_col))
-        if with_payload:
-            return F.transform(
-                rest,
-                lambda y: F.struct(
-                    x["doc_id"].alias("a"),
-                    y["doc_id"].alias("b"),
-                    x["payload"].alias("payload_a"),
-                    y["payload"].alias("payload_b"),
-                ),
-            )
-        return F.transform(
-            rest, lambda y: F.struct(x["doc_id"].alias("a"), y["doc_id"].alias("b"))
-        )
+        return F.transform(rest, lambda y: F.struct(x.alias("a"), y.alias("b")))
 
     return F.flatten(F.transform(ids_col, inner))
 
 
 def candidate_pairs_from_buckets(
     buckets: DataFrame,
-    bucket_cap: int = 64,
-    payload_col: str | None = None,
+    bucket_cap: int | dict[str, int] = 64,
     dedup: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
-    """buckets(doc_id, lane, band_id, band_key[, payload]) ->
-    (pairs(a, b, lane[, payload_a, payload_b]) deduped, bucket_stats).
+    """buckets(doc_id, lane, band_id, band_key) ->
+    (pairs(a, b, lane) deduped, bucket_stats).
     a < b always; doc order inside a bucket is ascending doc_id, so the
     pair set is deterministic (oracle parity).
 
-    With a payload, callers that verify on the payload must pass dedup=False
-    and dedupe AFTER verification: the same (a, b) can surface from several
-    buckets with different payloads, and an arbitrary pre-verify dedup could
-    keep only the failing one."""
+    `bucket_cap` may be a per-lane dict (e.g. {"minhash": 64, "suffix": 32})
+    so heterogeneous lanes share ONE pair-generation pass — fewer stages,
+    one shuffle schedule, one skew story."""
     keys = ["lane", "band_id", "band_key"]
-    with_payload = payload_col is not None
+    if isinstance(bucket_cap, dict):
+        cap = F.coalesce(
+            *[
+                F.when(F.col("lane") == lane, F.lit(c))
+                for lane, c in bucket_cap.items()
+            ]
+        )
+    else:
+        cap = F.lit(bucket_cap)
 
-    cols = [F.col("doc_id")] + (
-        [F.col(payload_col).alias("payload")] if with_payload else []
-    )
+    # The bucket rows feed multiple consumers (size agg, size join); persist
+    # so an expensive upstream (e.g. the suffix lane's Python key stage)
+    # executes exactly once.  Rows are ~30 bytes each.
+    buckets = buckets.persist()
+
     sizes = buckets.groupBy(*keys).agg(
         F.count("*").alias("bucket_size"),
         F.min("doc_id").alias("hub"),
     )
-    member_cols = [F.col("doc_id")] + ([F.col("payload")] if with_payload else [])
-    with_size = buckets.select(*keys, *cols).join(
-        sizes.filter(F.col("bucket_size") >= 2), on=keys
+    with_size = (
+        buckets.join(sizes.filter(F.col("bucket_size") >= 2), on=keys)
+        .withColumn("cap", cap)
     )
 
     # small buckets: bounded collect_list -> JVM all-pairs
     small_arrays = (
-        with_size.filter(F.col("bucket_size") <= bucket_cap)
+        with_size.filter(F.col("bucket_size") <= F.col("cap"))
         .groupBy(*keys)
-        .agg(F.array_sort(F.collect_list(F.struct(*member_cols))).alias("members"))
-    )
-    small_sel = ["pair.a", "pair.b", "lane"] + (
-        ["pair.payload_a", "pair.payload_b"] if with_payload else []
+        .agg(F.array_sort(F.collect_list(F.col("doc_id"))).alias("members"))
     )
     small_pairs = small_arrays.select(
         "lane",
-        F.explode(_pair_structs(F.col("members"), with_payload)).alias("pair"),
-    ).select(*small_sel)
+        F.explode(_pair_structs(F.col("members"))).alias("pair"),
+    ).select("pair.a", "pair.b", "lane")
 
     # hot buckets: star to the hub (min doc_id) — projection, no grouping
-    big = with_size.filter(
-        (F.col("bucket_size") > bucket_cap) & (F.col("doc_id") != F.col("hub"))
-    )
-    if with_payload:
-        hub_payload = (
-            with_size.filter(F.col("bucket_size") > bucket_cap)
-            .groupBy(*keys)
-            .agg(F.min_by("payload", "doc_id").alias("hub_payload"))
-        )
-        big = big.join(hub_payload, on=keys)
-        big_pairs = big.select(
-            F.col("hub").alias("a"),
-            F.col("doc_id").alias("b"),
-            "lane",
-            F.col("hub_payload").alias("payload_a"),
-            F.col("payload").alias("payload_b"),
-        )
-    else:
-        big_pairs = big.select(
-            F.col("hub").alias("a"), F.col("doc_id").alias("b"), "lane"
-        )
+    big_pairs = with_size.filter(
+        (F.col("bucket_size") > F.col("cap")) & (F.col("doc_id") != F.col("hub"))
+    ).select(F.col("hub").alias("a"), F.col("doc_id").alias("b"), "lane")
 
     pairs = small_pairs.unionByName(big_pairs)
     if dedup:
         pairs = pairs.dropDuplicates(["a", "b", "lane"])
 
-    stats = sizes.groupBy("lane").agg(
+    sizes_capped = sizes.withColumn("cap", cap)
+    stats = sizes_capped.groupBy("lane").agg(
         F.count("*").alias("n_buckets"),
         F.max("bucket_size").alias("max_bucket"),
-        F.sum(F.when(F.col("bucket_size") > bucket_cap, 1).otherwise(0)).alias(
-            "n_hot_buckets"
-        ),
+        F.sum(
+            F.when(F.col("bucket_size") > F.col("cap"), 1).otherwise(0)
+        ).alias("n_hot_buckets"),
         F.sum(
             F.when(
-                F.col("bucket_size") > bucket_cap,
+                F.col("bucket_size") > F.col("cap"),
                 (F.col("bucket_size") * (F.col("bucket_size") - 1)) / 2
                 - (F.col("bucket_size") - 1),
             ).otherwise(0)

@@ -10,18 +10,20 @@ walk neighbors in order).  The scalable Spark reimagination:
      Content-defined means two documents sharing a >=run_min verbatim run
      place anchors at the same content offsets inside the run, so they emit
      comparable suffixes without any global alignment;
-  2. bucket suffixes by their first `suffix_prefix` chars — any two suffixes
-     with LCP >= lcp_min (> suffix_prefix) are necessarily in the same
-     bucket, so equality bucketing replaces the global sort + neighbor sweep
-     and REUSES the generic skew-safe pair operator (operators/pairs.py:
-     bounded JVM all-pairs for small buckets, star-to-hub for hot boilerplate
-     prefixes) with the suffix string as the pair payload;
-  3. verify LCP >= lcp_min on each (suffix_a, suffix_b) pair — a vectorized
-     Arrow batch UDF over pair rows (not per-group pandas) — and emit the
-     (doc_a, doc_b) edge, lane='suffix'.
+  2. hash the `lcp_min` bytes after each anchor into an int64 bucket key
+     (kernels.suffix_keys_for_text).  LCP >= lcp_min between two sampled
+     suffixes IFF their first lcp_min bytes are equal IFF their keys are
+     equal — so equality bucketing IS the LCP verification (up to 2^-64
+     hash collisions), and the lane shuffles only (doc_id, key) int64 pairs,
+     never suffix strings;
+  3. generate (doc_a, doc_b) edges per bucket, reusing the generic skew-safe
+     pair operator (operators/pairs.py: bounded JVM all-pairs for small
+     buckets, star-to-hub for hot boilerplate runs), lane='suffix'.
 
-No global orderBy, no single-partition window, no unbounded collect —
-the whole lane is groupBy-shaped and AQE/skew-safe.
+No global orderBy, no single-partition window, no unbounded collect, no
+Python-side pair verification — the whole lane is groupBy-shaped, AQE/skew-
+safe, and its shuffle volume is ~16 bytes per sampled anchor regardless of
+document size.
 """
 
 from __future__ import annotations
@@ -41,41 +43,59 @@ from qalsh_spark.operators.pairs import candidate_pairs_from_buckets
 _SUFFIX_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
-        T.StructField("suffix", T.StringType()),
+        T.StructField("band_key", T.LongType()),
     ]
 )
 
 SUFFIX_BUCKET_CAP = 32
 
 
-def _emit_suffixes(cfg: DedupConfig):
+def _emit_suffix_keys(cfg: DedupConfig):
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids: list[int] = []
-            sufs: list[str] = []
+            ids: list[np.ndarray] = []
+            keys: list[np.ndarray] = []
             for doc_id, text in zip(pdf["doc_id"].to_numpy(), pdf["text"].to_numpy()):
-                for s in K.suffixes_for_text(
-                    text or "",
-                    cfg.suffix_window,
-                    cfg.suffix_gap,
-                    cfg.suffix_len,
-                    cfg.lcp_min,
-                ):
-                    ids.append(int(doc_id))
-                    sufs.append(s)
-            yield pd.DataFrame({"doc_id": ids, "suffix": sufs}).astype(
-                {"doc_id": "int64"}
-            )
+                k = K.suffix_keys_for_text(
+                    text or "", cfg.suffix_window, cfg.suffix_gap, cfg.lcp_min
+                )
+                if len(k):
+                    ids.append(np.full(len(k), doc_id, dtype=np.int64))
+                    keys.append(k)
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": np.concatenate(ids),
+                        "band_key": np.concatenate(keys),
+                    }
+                )
+            else:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pd.Series([], dtype="int64"),
+                        "band_key": pd.Series([], dtype="int64"),
+                    }
+                )
 
     return fn
 
 
-@F.pandas_udf(T.IntegerType())
-def lcp_udf(a: pd.Series, b: pd.Series) -> pd.Series:
-    out = np.empty(len(a), dtype=np.int32)
-    for i in range(len(a)):
-        out[i] = K.lcp(a.iat[i] or "", b.iat[i] or "")
-    return pd.Series(out)
+def suffix_buckets(documents_with_id: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """documents(doc_id, text) -> bucket rows (doc_id, lane='suffix',
+    band_id=0, band_key) ready for the shared pair-generation pass."""
+    narrow = documents_with_id.select("doc_id", "text")
+    # same parallelism guard as sign_documents: don't let a small split count
+    # serialize the anchor-scan Python stage
+    target = narrow.sparkSession.sparkContext.defaultParallelism
+    if narrow.rdd.getNumPartitions() < target:
+        narrow = narrow.repartition(target)
+    keys = narrow.mapInPandas(_emit_suffix_keys(cfg), schema=_SUFFIX_SCHEMA)
+    return keys.select(
+        "doc_id",
+        F.lit("suffix").alias("lane"),
+        F.lit(0).alias("band_id"),
+        "band_key",
+    )
 
 
 def substring_candidate_pairs(
@@ -83,32 +103,11 @@ def substring_candidate_pairs(
     cfg: DedupConfig,
     bucket_cap: int = SUFFIX_BUCKET_CAP,
 ) -> DataFrame:
-    """documents(doc_id, text) -> suffix-lane pairs(a, b, lane='suffix'),
-    LCP-verified."""
-    suffixes = documents_with_id.select("doc_id", "text").mapInPandas(
-        _emit_suffixes(cfg), schema=_SUFFIX_SCHEMA
-    )
-    # deterministic representative per (doc, bucket): the MIN suffix — the
-    # oracle replicates this rule (arbitrary dropDuplicates would break
-    # cross-engine parity)
-    buckets = (
-        suffixes.withColumn(
-            "band_key", F.xxhash64(F.substring("suffix", 1, cfg.suffix_prefix))
-        )
-        .groupBy("doc_id", "band_key")
-        .agg(F.min("suffix").alias("suffix"))
-        .select(
-            "doc_id",
-            F.lit("suffix").alias("lane"),
-            F.lit(0).alias("band_id"),
-            "band_key",
-            "suffix",
-        )
-    )
+    """documents(doc_id, text) -> suffix-lane pairs(a, b, lane='suffix').
+    Pairs are pre-verified by construction (equal key => LCP >= lcp_min).
+    Standalone entry point; the pipeline instead unions suffix_buckets into
+    the shared pair-generation pass (one shuffle schedule for all lanes)."""
     pairs, _stats = candidate_pairs_from_buckets(
-        buckets, bucket_cap=bucket_cap, payload_col="suffix", dedup=False
+        suffix_buckets(documents_with_id, cfg), bucket_cap=bucket_cap
     )
-    verified = pairs.withColumn(
-        "lcp", lcp_udf(F.col("payload_a"), F.col("payload_b"))
-    ).filter(F.col("lcp") >= cfg.lcp_min)
-    return verified.select("a", "b", "lane").dropDuplicates(["a", "b"])
+    return pairs.dropDuplicates(["a", "b"])

@@ -3,18 +3,21 @@ computing the exact l_p distance once a candidate's collision count passes
 the threshold (/root/reference/methods/qalsh.h:444-446, exact kernels at
 methods/util.h:211-464).
 
-Here the "raw point fetch" (1 page I/O in the reference, methods/util.h:171-193)
-is a columnar self-join of the candidate edge list against the signatures
-table on doc_id — sort-merge/shuffle-hash at scale, broadcast when small;
-and the "exact distance" is exact Jaccard over shingle sets (vectorized
-pandas UDF) plus Hamming over simhash, which is pure JVM SQL:
-`bit_count(a ^ b)` — no Python at all for the simhash lane.
+Mirroring the reference's verify-time page fetch (methods/util.h:171-193:
+the raw point is NOT stored in the index; it is re-read from the paged store
+only for candidates), the signatures table here is narrow (minhash 128xint32,
+simhash int64 — no shingle sets), and the exact-Jaccard verification
+re-derives each candidate document's shingle set from its text via a join
+back to the documents table + a vectorized Arrow UDF.  Only docs that appear
+in a surviving candidate pair pay that cost — a tiny fraction of the corpus
+at scale, exactly like the reference's "100 + k - 1 verified points" budget.
 
 A JVM-side prefilter runs before the Python jaccard: positionwise minhash
 agreement (zip_with + aggregate, whole-stage codegen) estimates Jaccard and
 discards pairs that cannot plausibly reach the threshold — the moral analog
 of the reference's early-exit distance accumulation (methods/util.h:261-262),
-done batch-wise instead of element-wise.
+done batch-wise instead of element-wise.  The simhash lane is pure JVM SQL:
+`bit_count(a ^ b)` — no Python at all.
 """
 
 from __future__ import annotations
@@ -31,12 +34,32 @@ from qalsh_spark.config import DedupConfig
 
 @F.pandas_udf(T.DoubleType())
 def jaccard_udf(a: pd.Series, b: pd.Series) -> pd.Series:
-    out = np.empty(len(a), dtype=np.float64)
+    """Exact Jaccard of two sorted shingle arrays; null-safe (missing side
+    -> 0.0) so it can run over a left-joined pair stream in one pass."""
+    out = np.zeros(len(a), dtype=np.float64)
     for i in range(len(a)):
+        xa, xb = a.iat[i], b.iat[i]
+        if xa is None or xb is None:
+            continue
         out[i] = K.jaccard_sorted(
-            np.asarray(a.iat[i], dtype=np.int64), np.asarray(b.iat[i], dtype=np.int64)
+            np.asarray(xa, dtype=np.int64), np.asarray(xb, dtype=np.int64)
         )
     return pd.Series(out)
+
+
+def shingle_set_udf(shingle_k: int):
+    """text -> sorted unique shingle hashes (array<long>), same kernel the
+    signing stage used — the verify-time 'raw point fetch'."""
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _udf(text: pd.Series) -> pd.Series:
+        return text.map(
+            lambda t: K.shingle_hashes(
+                K.hash_tokens(K.tokenize(t or "")), shingle_k
+            ).view(np.int64)
+        )
+
+    return _udf
 
 
 def minhash_agreement(col_a: str, col_b: str):
@@ -53,45 +76,85 @@ def verify_pairs(
     pairs: DataFrame,
     signatures: DataFrame,
     cfg: DedupConfig,
+    documents_with_id: DataFrame | None = None,
     prefilter_margin: float = 0.2,
 ) -> DataFrame:
-    """pairs(a,b,lane) x signatures -> edges(a, b, lane, jaccard, hamming)
+    """pairs(a,b,lane) x signatures -> edges(a, b, lanes, jaccard, hamming)
     for pairs passing their lane's threshold.
 
     Per-lane acceptance (the oracle mirrors these rules exactly):
       minhash: exact Jaccard >= cfg.jaccard_threshold
       simhash: bit_count(xor) <= cfg.hamming_max (catches localized edits
                that shingle Jaccard under-scores)
-      suffix:  pre-verified upstream by the LCP check — always kept
+      suffix:  pre-verified upstream by bucket-key construction — always kept
+
+    `documents_with_id(doc_id, text)` supplies the raw text for the exact-
+    Jaccard re-derivation; when omitted, signatures must still carry a
+    `shingles` column (legacy path for callers that precomputed it).
     """
-    sig = signatures.select("doc_id", "shingles", "minhash", "simhash")
+    sig = signatures.select("doc_id", "minhash", "simhash")
     j = (
         pairs.join(sig.withColumnRenamed("doc_id", "a"), on="a")
-        .withColumnsRenamed(
-            {"shingles": "sh_a", "minhash": "mh_a", "simhash": "fp_a"}
-        )
+        .withColumnsRenamed({"minhash": "mh_a", "simhash": "fp_a"})
         .join(sig.withColumnRenamed("doc_id", "b"), on="b")
-        .withColumnsRenamed(
-            {"shingles": "sh_b", "minhash": "mh_b", "simhash": "fp_b"}
-        )
+        .withColumnsRenamed({"minhash": "mh_b", "simhash": "fp_b"})
     )
     j = j.withColumn("hamming", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))))
     j = j.withColumn("mh_est", minhash_agreement("mh_a", "mh_b"))
 
-    # JVM prefilter: only minhash-lane pairs whose estimated Jaccard could
-    # plausibly reach the gate pay the Python exact-Jaccard cost.
+    # JVM prefilter: only pairs whose estimated Jaccard could plausibly reach
+    # the gate pay the Python exact-Jaccard cost.
     est_ok = F.col("mh_est") >= F.lit(cfg.jaccard_threshold - prefilter_margin)
     is_minhash = F.col("lane") == F.lit("minhash")
     is_simhash = F.col("lane") == F.lit("simhash")
     is_suffix = F.col("lane") == F.lit("suffix")
     passes_simhash = F.col("hamming") <= F.lit(cfg.hamming_max)
-    j = j.filter((is_minhash & est_ok) | is_simhash | is_suffix)
+    # Persist the surviving narrow pair rows: they feed the candidate-id
+    # derivation AND the final scoring pass; without this the signature
+    # joins + the interpreted higher-order agreement expression would
+    # re-execute once per consumer.
+    j = (
+        j.filter((is_minhash & est_ok) | is_simhash | is_suffix)
+        .select("a", "b", "lane", "hamming", "mh_est")
+        .persist()
+    )
 
-    j = j.withColumn(
-        "jaccard",
-        F.when(est_ok, jaccard_udf(F.col("sh_a"), F.col("sh_b"))).otherwise(
-            F.lit(0.0)
-        ),
+    # Exact Jaccard for pairs that need it: re-derive shingle sets for the
+    # candidate docs only (verify-time raw fetch), then LEFT-join both sides
+    # and score in one linear pass (null side -> jaccard 0.0, which only
+    # matters for lanes whose acceptance ignores jaccard anyway).
+    needs_exact = j.filter(est_ok)
+    if documents_with_id is not None:
+        cand_ids = (
+            needs_exact.select(F.col("a").alias("doc_id"))
+            .unionByName(needs_exact.select(F.col("b").alias("doc_id")))
+            .distinct()
+        )
+        # persist: consumed twice (a-side and b-side joins) — without it the
+        # shingle UDF would run twice per candidate document
+        cand_sh = (
+            cand_ids.join(documents_with_id.select("doc_id", "text"), on="doc_id")
+            .select(
+                "doc_id",
+                shingle_set_udf(cfg.shingle_k)(F.col("text")).alias("shingles"),
+            )
+            .persist()
+        )
+    else:  # legacy: shingles precomputed on the signatures table
+        cand_sh = signatures.select("doc_id", "shingles")
+    j = (
+        j.join(
+            cand_sh.withColumnsRenamed({"doc_id": "a", "shingles": "sh_a"}),
+            on="a",
+            how="left",
+        )
+        .join(
+            cand_sh.withColumnsRenamed({"doc_id": "b", "shingles": "sh_b"}),
+            on="b",
+            how="left",
+        )
+        .withColumn("jaccard", jaccard_udf(F.col("sh_a"), F.col("sh_b")))
+        .drop("sh_a", "sh_b")
     )
 
     passes_jaccard = F.col("jaccard") >= F.lit(cfg.jaccard_threshold)

@@ -24,7 +24,7 @@ from qalsh_spark.operators.components import (
     connected_components,
 )
 from qalsh_spark.operators.pairs import candidate_pairs_from_buckets
-from qalsh_spark.operators.suffix import substring_candidate_pairs
+from qalsh_spark.operators.suffix import SUFFIX_BUCKET_CAP, suffix_buckets
 from qalsh_spark.operators.verify import verify_pairs
 from qalsh_spark.sources.catalog import StageCatalog
 
@@ -61,16 +61,28 @@ class DedupPipeline:
     def candidate_pairs(
         self, signatures: DataFrame, documents_with_id: DataFrame | None
     ) -> tuple[DataFrame, DataFrame]:
-        pairs, stats = candidate_pairs_from_buckets(
-            self.buckets(signatures), self.cfg.bucket_cap
-        )
+        """All lanes (minhash + simhash bands, suffix keys) are unioned into
+        ONE bucket stream and pair-generated in a single pass — one shuffle
+        schedule, one skew treatment, per-lane caps."""
+        buckets = self.buckets(signatures)
+        caps: dict[str, int] = {
+            "minhash": self.cfg.bucket_cap,
+            "simhash": self.cfg.bucket_cap,
+        }
         if self.enable_suffix and documents_with_id is not None:
-            sfx = substring_candidate_pairs(documents_with_id, self.cfg)
-            pairs = pairs.unionByName(sfx).dropDuplicates(["a", "b", "lane"])
-        return pairs, stats
+            buckets = buckets.unionByName(
+                suffix_buckets(documents_with_id, self.cfg)
+            )
+            caps["suffix"] = SUFFIX_BUCKET_CAP
+        return candidate_pairs_from_buckets(buckets, caps)
 
-    def verify(self, pairs: DataFrame, signatures: DataFrame) -> DataFrame:
-        return verify_pairs(pairs, signatures, self.cfg)
+    def verify(
+        self,
+        pairs: DataFrame,
+        signatures: DataFrame,
+        documents_with_id: DataFrame | None = None,
+    ) -> DataFrame:
+        return verify_pairs(pairs, signatures, self.cfg, documents_with_id)
 
     def cluster(self, edges: DataFrame, signatures: DataFrame) -> DataFrame:
         comp = connected_components(edges)
@@ -92,6 +104,13 @@ class DedupPipeline:
             df = make()
             if cat is not None:
                 df = cat.write(df, name, fp)
+            else:
+                # No checkpoint catalog: persist the stage boundary so the
+                # many downstream consumers (verify joins signatures twice,
+                # clustering reads it again) don't re-execute the whole
+                # upstream plan — the in-memory analog of the catalog's
+                # read-back-after-write.
+                df = df.persist()
             return df
 
         signatures = stage("signatures", lambda: self.sign(documents))
@@ -107,7 +126,7 @@ class DedupPipeline:
             return p
 
         pairs = stage("pairs", make_pairs)
-        edges = stage("edges", lambda: self.verify(pairs, signatures))
+        edges = stage("edges", lambda: self.verify(pairs, signatures, docs_with_id))
         clusters = stage("clusters", lambda: self.cluster(edges, signatures))
         return DedupResult(
             signatures, pairs, edges, clusters, pairs_holder.get("stats")

@@ -31,8 +31,19 @@ from qalsh_spark.operators.dedup import (
 SparkQuery = Callable[[SparkSession, str], DataFrame]
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+def _t(
+    spark: SparkSession, sf_dir: str, name: str, rebalance: bool = False
+) -> DataFrame:
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if rebalance:
+        # The driver testdata parquets are single-row-group files, which
+        # Spark scans as ONE task; for queries doing per-row heavy work
+        # (regex/UDF over text, vector math) a round-robin repartition of the
+        # small input unlocks the full core count.  Results are unaffected.
+        target = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < target:
+            df = df.repartition(target)
+    return df
 
 
 # ---------------------------------------------------------------------------
@@ -40,7 +51,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def q_exact_dup_groups(spark, sf_dir):
-    return exact_dup_groups(_t(spark, sf_dir, "documents")).select(
+    return exact_dup_groups(_t(spark, sf_dir, "documents", rebalance=True)).select(
         "text_key", "n_dups", "keep_id"
     )
 
@@ -56,7 +67,7 @@ HAVING count(*) > 1
 
 
 def q_dedup_survivor_stats(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", rebalance=True)
     keyed = docs.select(content_md5(F.col("text")).alias("k"))
     return keyed.agg(
         F.count("*").alias("n_docs"),
@@ -113,7 +124,7 @@ FROM documents GROUP BY lang
 
 
 def q_quality_features(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents").filter(F.col("n_chars") >= 400)
+    docs = _t(spark, sf_dir, "documents", rebalance=True).filter(F.col("n_chars") >= 400)
     f = quality_features(F.col("text"))
     return docs.select(
         "doc_id",
@@ -156,7 +167,7 @@ SELECT lang, doc_id, n_chars, rnk FROM (
 
 def q_token_jaccard_pairs(spark, sf_dir):
     return token_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), threshold=0.4, max_token_df=20
+        _t(spark, sf_dir, "documents", rebalance=True), threshold=0.4, max_token_df=20
     )
 
 
@@ -195,7 +206,7 @@ WHERE n_shared * 1.0 / (sa.n_tok + sb.n_tok - n_shared) >= 0.4
 # ---------------------------------------------------------------------------
 
 def _emb(spark, sf_dir):
-    return _t(spark, sf_dir, "embeddings")
+    return _t(spark, sf_dir, "embeddings", rebalance=True)
 
 
 def q_knn_bruteforce_cosine(spark, sf_dir):

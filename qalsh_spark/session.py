@@ -25,6 +25,15 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("QALSH_SHUFFLE_PARTITIONS", "32"))
 
+    # Make the repo importable from the python worker daemon (it preloads
+    # numpy/pandas/pyarrow + kernels before forking — see qalsh_spark/daemon.py)
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if repo_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            repo_root + (os.pathsep + existing if existing else "")
+        )
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -34,6 +43,8 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        .config("spark.python.worker.reuse", "true")
+        .config("spark.python.daemon.module", "qalsh_spark.daemon")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("QALSH_DRIVER_MEM", "8g"))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))

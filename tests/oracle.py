@@ -107,37 +107,29 @@ def run_oracle(
                 pairs.add((hub, m, lane))
 
     # --- suffix lane (operators/suffix.py parity) ----------------------
+    # Bucket key = hash of the lcp_min bytes after each content-defined
+    # anchor; key equality IS the LCP >= lcp_min verification.
     if enable_suffix:
-        sbuckets: dict[str, dict[int, str]] = collections.defaultdict(dict)
+        sbuckets: dict[int, set[int]] = collections.defaultdict(set)
         for i, d in enumerate(ids):
-            per_doc: dict[str, str] = {}
-            for s in K.suffixes_for_text(
-                texts[i] or "",
-                cfg.suffix_window,
-                cfg.suffix_gap,
-                cfg.suffix_len,
-                cfg.lcp_min,
+            for k in K.suffix_keys_for_text(
+                texts[i] or "", cfg.suffix_window, cfg.suffix_gap, cfg.lcp_min
             ):
-                pref = s[: cfg.suffix_prefix]
-                # keep the lexicographically-smallest suffix per (doc, bucket)
-                if pref not in per_doc or s < per_doc[pref]:
-                    per_doc[pref] = s
-            for pref, s in per_doc.items():
-                sbuckets[pref][d] = s
+                sbuckets[int(k)].add(d)
         from qalsh_spark.operators.suffix import SUFFIX_BUCKET_CAP
 
-        for pref, docmap in sbuckets.items():
-            ds = sorted(docmap)
+        for _key, dset in sbuckets.items():
+            ds = sorted(dset)
+            if len(ds) < 2:
+                continue
             if len(ds) <= SUFFIX_BUCKET_CAP:
                 for x in range(len(ds)):
                     for y in range(x + 1, len(ds)):
-                        if K.lcp(docmap[ds[x]], docmap[ds[y]]) >= cfg.lcp_min:
-                            pairs.add((ds[x], ds[y], "suffix"))
+                        pairs.add((ds[x], ds[y], "suffix"))
             else:  # star rule (operators/pairs.py hot-bucket parity)
                 hub = ds[0]
                 for m in ds[1:]:
-                    if K.lcp(docmap[hub], docmap[m]) >= cfg.lcp_min:
-                        pairs.add((hub, m, "suffix"))
+                    pairs.add((hub, m, "suffix"))
 
     # --- verify (operators/verify.py per-lane rules) --------------------
     edges: set[tuple[int, int]] = set()
