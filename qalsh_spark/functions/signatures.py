@@ -145,7 +145,10 @@ def sign_documents(documents: DataFrame, cfg: DedupConfig) -> DataFrame:
     # the split count regardless of cluster size.  Round-robin repartition to
     # the session's full parallelism; at real scale (input splits >> cores)
     # this is a no-op-sized shuffle of narrow rows vs hours of signing.
-    target = narrow.sparkSession.sparkContext.defaultParallelism
-    if narrow.rdd.getNumPartitions() < target:
-        narrow = narrow.repartition(target)
+    # (Streaming inputs keep their micro-batch partitioning — .rdd is not
+    # available on an unstarted stream.)
+    if not narrow.isStreaming:
+        target = narrow.sparkSession.sparkContext.defaultParallelism
+        if narrow.rdd.getNumPartitions() < target:
+            narrow = narrow.repartition(target)
     return narrow.mapInPandas(_sign_batches(cfg), schema=_SIGNATURE_SCHEMA)

@@ -469,6 +469,217 @@ SELECT user_id, event_type AS top_event, n FROM (
 
 
 # ---------------------------------------------------------------------------
+# text-analysis lane (language ID, quality scoring)
+# ---------------------------------------------------------------------------
+
+def q_language_id_distribution(spark, sf_dir):
+    from qalsh_spark.functions.text import language_id
+
+    docs = _t(spark, sf_dir, "documents", rebalance=True)
+    return docs.groupBy(language_id(F.col("text")).alias("lang_pred")).agg(
+        F.count("*").alias("n_docs")
+    )
+
+
+# CASE ordering mirrors language_id()'s first-in-dict-order tie-break
+SQL_LANGUAGE_ID_DISTRIBUTION = """
+WITH hits AS (
+  SELECT len(list_intersect(string_split(lower(text),' '),
+             ['the','and','of','to','in','is','that','for','with'])) AS h_en,
+         len(list_intersect(string_split(lower(text),' '),
+             ['der','die','und','das','ist','nicht','mit','ein','von'])) AS h_de,
+         len(list_intersect(string_split(lower(text),' '),
+             ['le','la','les','et','des','est','dans','pour','une'])) AS h_fr,
+         len(list_intersect(string_split(lower(text),' '),
+             ['el','los','las','es','en','una','por','para','con'])) AS h_es
+  FROM documents
+)
+SELECT CASE
+         WHEN h_en >= h_de AND h_en >= h_fr AND h_en >= h_es AND h_en > 0 THEN 'en'
+         WHEN h_de >= h_fr AND h_de >= h_es AND h_de > 0 THEN 'de'
+         WHEN h_fr >= h_es AND h_fr > 0 THEN 'fr'
+         WHEN h_es > 0 THEN 'es'
+         ELSE 'und'
+       END AS lang_pred,
+       count(*) AS n_docs
+FROM hits GROUP BY 1
+"""
+
+
+def q_quality_score_topk(spark, sf_dir):
+    from qalsh_spark.functions.text import quality_score
+
+    docs = _t(spark, sf_dir, "documents", rebalance=True)
+    q = quality_score(F.col("text"))
+    return (
+        docs.select("doc_id", q.alias("_q"))
+        .orderBy(F.desc("_q"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id", F.round("_q", 4).alias("quality"))
+    )
+
+
+SQL_QUALITY_SCORE_TOPK = """
+WITH f AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha,
+         length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+         length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS n_punct,
+         len(list_intersect(string_split(lower(text),' '),
+             ['the','and','of','to','in','is','that','for','with'])) AS stop_hits
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         greatest(0.0, least(1.0,
+           (CASE WHEN n_chars > 0 THEN n_alpha * 1.0 / n_chars ELSE 0.0 END)
+         - (CASE WHEN n_chars > 0 THEN n_punct * 1.0 / n_chars ELSE 0.0 END)
+         - (CASE WHEN n_chars > 0 THEN n_digit * 1.0 / n_chars ELSE 0.0 END)
+         + least(stop_hits / 10.0, 0.3))) AS q
+  FROM f
+)
+SELECT doc_id, round(q, 4) AS quality
+FROM s ORDER BY q DESC, doc_id LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# multimodal lane: binary columns synthesized deterministically from text
+# (driver testdata has no media column; magic prefixes exercise the sniffing)
+# ---------------------------------------------------------------------------
+
+def _synth_media(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents", rebalance=True)
+    m = F.col("doc_id") % 4
+    prefix = (
+        F.when(m == 0, F.unhex(F.lit("FFD8FF")))
+        .when(m == 1, F.unhex(F.lit("89504E47")))
+        .when(m == 2, F.unhex(F.lit("1A45DFA3")))
+        .otherwise(F.lit(b""))
+    )
+    return docs.select(
+        "doc_id",
+        F.concat(prefix, F.encode(F.col("text"), "UTF-8")).alias("content"),
+    )
+
+
+def q_media_type_distribution(spark, sf_dir):
+    from qalsh_spark.functions.multimodal import sniff_media_type
+
+    media = _synth_media(spark, sf_dir)
+    return media.groupBy(
+        sniff_media_type(F.col("content")).alias("media_type")
+    ).agg(
+        F.count("*").alias("n_blobs"),
+        F.sum(F.octet_length("content")).alias("total_bytes"),
+    )
+
+
+SQL_MEDIA_TYPE_DISTRIBUTION = """
+WITH media AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 0 THEN unhex('FFD8FF') || encode(text)
+              WHEN doc_id % 4 = 1 THEN unhex('89504E47') || encode(text)
+              WHEN doc_id % 4 = 2 THEN unhex('1A45DFA3') || encode(text)
+              ELSE encode(text) END AS content
+  FROM documents
+), sniffed AS (
+  SELECT content, substring(hex(content), 1, 16) AS hp FROM media
+)
+SELECT CASE
+         WHEN starts_with(hp, 'FFD8FF') THEN 'image/jpeg'
+         WHEN starts_with(hp, '89504E47') THEN 'image/png'
+         WHEN starts_with(hp, '47494638') THEN 'image/gif'
+         WHEN starts_with(hp, '52494646') THEN 'audio/riff'
+         WHEN starts_with(hp, '494433') THEN 'audio/mpeg'
+         WHEN starts_with(hp, '1A45DFA3') THEN 'video/webm'
+         WHEN starts_with(hp, '3C68746D6C') THEN 'text/html'
+         WHEN starts_with(hp, '3C21444F43') THEN 'text/html'
+         ELSE 'application/octet-stream'
+       END AS media_type,
+       count(*) AS n_blobs,
+       CAST(sum(octet_length(content)) AS BIGINT) AS total_bytes
+FROM sniffed GROUP BY 1
+"""
+
+
+def q_frame_sample_stats(spark, sf_dir):
+    from qalsh_spark.functions.multimodal import frame_sample
+
+    media = _synth_media(spark, sf_dir)
+    frames = frame_sample(F.col("content"), frame_size=64, stride=48, max_frames=16)
+    return media.select(
+        "doc_id",
+        F.size(frames).alias("n_frames"),
+        F.least(F.lit(64), F.octet_length("content")).alias("first_frame_bytes"),
+    )
+
+
+SQL_FRAME_SAMPLE_STATS = """
+WITH media AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 0 THEN unhex('FFD8FF') || encode(text)
+              WHEN doc_id % 4 = 1 THEN unhex('89504E47') || encode(text)
+              WHEN doc_id % 4 = 2 THEN unhex('1A45DFA3') || encode(text)
+              ELSE encode(text) END AS content
+  FROM documents
+)
+SELECT doc_id,
+       CAST(least(16, greatest(0,
+         CAST(floor((octet_length(content) - 64) * 1.0 / 48) AS INT) + 1)) AS INT)
+         AS n_frames,
+       least(64, octet_length(content)) AS first_frame_bytes
+FROM media
+"""
+
+
+def q_media_byte_stats(spark, sf_dir):
+    """Rows-only: Arrow-batched byte histogram stats over a binary column."""
+    from qalsh_spark.functions.multimodal import byte_stats
+
+    media = _synth_media(spark, sf_dir)
+    out = byte_stats(media, id_col="doc_id", content_col="content")
+    return out.select(
+        "doc_id",
+        "n_bytes",
+        F.round("byte_entropy", 3).alias("byte_entropy"),
+        F.round("ascii_ratio", 3).alias("ascii_ratio"),
+    )
+
+
+def q_image_decode_meta(spark, sf_dir):
+    """Rows-only: deterministic fake image decode (schema/batch plumbing)."""
+    from qalsh_spark.functions.multimodal import decode_image_meta
+
+    media = _synth_media(spark, sf_dir)
+    return decode_image_meta(media, id_col="doc_id", content_col="content")
+
+
+def q_ann_recall_eval(spark, sf_dir):
+    """Rows-only: the reference's recall-evaluation protocol
+    (/root/reference/methods/util.cc:94-105) — recall@k of the SRP-LSH lane
+    against the exact brute-force top-k on the same queries."""
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    truth = brute_force_topk(emb, F.broadcast(queries), k=5).select(
+        "qid", "neighbor_id"
+    )
+    approx = lsh_topk(emb, queries, k=5).select("qid", "neighbor_id")
+    hits = truth.join(approx, on=["qid", "neighbor_id"]).groupBy("qid").count()
+    per_q = truth.select("qid").distinct().join(hits, on="qid", how="left").select(
+        "qid", (F.coalesce(F.col("count"), F.lit(0)) / 5.0).alias("recall")
+    )
+    return per_q.agg(
+        F.count("*").alias("n_queries"),
+        F.round(F.avg("recall"), 4).alias("avg_recall"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # non-SQL-expressible lanes (rows-only driver check; pytest oracle covers
 # semantics): signature pipeline, LSH ANN, suffix pass
 # ---------------------------------------------------------------------------
@@ -574,6 +785,16 @@ QUERIES: dict[str, SparkQuery] = {
     "event_user_set_ops": q_event_user_set_ops,
     "events_daily": q_events_daily,
     "top_event_type_per_user": q_top_event_type_per_user,
+    # text-analysis lane
+    "language_id_distribution": q_language_id_distribution,
+    "quality_score_topk": q_quality_score_topk,
+    # multimodal lane
+    "media_type_distribution": q_media_type_distribution,
+    "frame_sample_stats": q_frame_sample_stats,
+    "media_byte_stats": q_media_byte_stats,
+    "image_decode_meta": q_image_decode_meta,
+    # ANN evaluation protocol
+    "ann_recall_eval": q_ann_recall_eval,
     # non-SQL lanes (rows-only)
     "minhash_dedup_clusters": q_minhash_dedup_clusters,
     "minhash_signatures": q_minhash_signatures,
@@ -603,4 +824,8 @@ ORACLE_SQL: dict[str, str] = {
     "event_user_set_ops": SQL_EVENT_USER_SET_OPS,
     "events_daily": SQL_EVENTS_DAILY,
     "top_event_type_per_user": SQL_TOP_EVENT_TYPE_PER_USER,
+    "language_id_distribution": SQL_LANGUAGE_ID_DISTRIBUTION,
+    "quality_score_topk": SQL_QUALITY_SCORE_TOPK,
+    "media_type_distribution": SQL_MEDIA_TYPE_DISTRIBUTION,
+    "frame_sample_stats": SQL_FRAME_SAMPLE_STATS,
 }

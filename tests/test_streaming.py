@@ -1,0 +1,54 @@
+"""Structured Streaming lane: incremental signature maintenance.
+
+New documents landing in a directory are signed by the SAME kernels as the
+batch pipeline and appended to a signatures table (SURVEY.md §2.8: the
+engine is batch-first; this is the incremental-ingest composition point)."""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from qalsh_spark.config import DedupConfig
+from qalsh_spark.datagen import corpus_to_table, generate_corpus
+from qalsh_spark.streaming.incremental import incremental_signatures
+
+
+def test_incremental_signatures(spark, tmp_path):
+    c = generate_corpus(50, seed=7)
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    tbl = corpus_to_table(c)
+    pq.write_table(tbl.slice(0, 30), os.path.join(in_dir, "batch0.parquet"))
+
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q = incremental_signatures(spark, in_dir, out_dir, ckpt, DedupConfig())
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_dir)
+    assert got.count() == 30
+    assert "minhash" in got.columns and "simhash" in got.columns
+
+    # second micro-batch: only the NEW file is processed (checkpoint offsets)
+    pq.write_table(tbl.slice(30, 20), os.path.join(in_dir, "batch1.parquet"))
+    q2 = incremental_signatures(spark, in_dir, out_dir, ckpt, DedupConfig())
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out_dir).count() == 50
+
+    # streamed signatures match the batch signing of the same rows
+    from qalsh_spark.functions.signatures import sign_documents
+    from qalsh_spark.sources.catalog import read_documents
+
+    import pyarrow.parquet as _pq
+
+    full = str(tmp_path / "full")
+    os.makedirs(full)
+    _pq.write_table(tbl, os.path.join(full, "documents.parquet"))
+    batch = sign_documents(read_documents(spark, full), DedupConfig())
+    a = {r["doc_id"]: (tuple(r["minhash"]), r["simhash"])
+         for r in batch.collect()}
+    b = {r["doc_id"]: (tuple(r["minhash"]), r["simhash"])
+         for r in spark.read.parquet(out_dir).collect()}
+    assert a == b
