@@ -24,6 +24,17 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _estimated_rows(path: str) -> int:
+    """Parquet metadata row count (no Spark needed) for the --aqe auto rule."""
+    try:
+        import pyarrow.parquet as pq
+
+        p = path if path.endswith(".parquet") else os.path.join(path, "documents.parquet")
+        return pq.ParquetFile(p).metadata.num_rows
+    except Exception:
+        return 0
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(description="qalsh_spark dedup job")
     ap.add_argument("--input", required=True, help="dir containing documents.parquet (or a .parquet path)")
@@ -34,6 +45,16 @@ def main() -> None:
     ap.add_argument("--no-suffix", action="store_true", help="disable the substring lane")
     ap.add_argument("--no-simhash", action="store_true", help="disable the simhash lane")
     ap.add_argument("--jaccard", type=float, default=0.5)
+    ap.add_argument(
+        "--aqe",
+        choices=["auto", "on", "off"],
+        default="auto",
+        help="adaptive query execution: 'auto' enables it above %(default)s"
+        " ~10M input docs — AQE's runtime re-planning adds ~200ms latency per"
+        " exchange (tens of seconds across this pipeline's ~100 stages),"
+        " which dwarfs its benefit until per-stage data is large enough for"
+        " skew-splitting and runtime coalescing to matter",
+    )
     ap.add_argument("--json", action="store_true", help="print one JSON metrics line")
     args = ap.parse_args()
 
@@ -44,10 +65,17 @@ def main() -> None:
 
     master = f"local[{args.cpus}]" if args.cpus else None
     n_cores = int(args.cpus) if args.cpus else (os.cpu_count() or 8)
+
+    # AQE auto rule: probe input size cheaply (parquet row count via metadata)
+    aqe_on = args.aqe == "on"
+    if args.aqe == "auto":
+        aqe_on = _estimated_rows(args.input) >= 10_000_000
+
     spark = get_spark(
         app_name="qalsh-dedup",
         master=master,
         shuffle_partitions=args.shuffle_partitions or max(2 * n_cores, 16),
+        extra_conf={"spark.sql.adaptive.enabled": str(aqe_on).lower()},
     )
     # warm JVM + Python worker pool so the measured wall is the job, not spin-up
     spark.range(1000).selectExpr("sum(id)").collect()
@@ -83,6 +111,7 @@ def main() -> None:
         "docs_per_hour": round(n_docs / wall * 3600.0, 1),
         "cores": n_cores,
         "master": spark.sparkContext.master,
+        "aqe": aqe_on,
         "config_hash": cfg.config_hash(),
     }
     if args.json:

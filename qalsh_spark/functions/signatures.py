@@ -58,6 +58,7 @@ _SIGNATURE_SCHEMA = T.StructType(
         T.StructField("band_keys", T.ArrayType(T.LongType())),
         T.StructField("simhash", T.LongType()),
         T.StructField("simhash_keys", T.ArrayType(T.LongType())),
+        T.StructField("suffix_keys", T.ArrayType(T.LongType())),
     ]
 )
 
@@ -79,6 +80,7 @@ def _sign_batches(cfg: DedupConfig):
                 "band_keys": [None] * n,
                 "simhash": np.zeros(n, np.int64),
                 "simhash_keys": [None] * n,
+                "suffix_keys": [None] * n,
             }
             for i, text in enumerate(pdf["text"].to_numpy()):
                 s = K.sign_document(
@@ -97,6 +99,12 @@ def _sign_batches(cfg: DedupConfig):
                 out["band_keys"][i] = s["band_keys"]
                 out["simhash"][i] = s["simhash"]
                 out["simhash_keys"][i] = s["simhash_keys"]
+                # suffix lane keys in the SAME text pass: one Python stage,
+                # one scan, no separate repartition (operators/suffix.py
+                # keeps a standalone path for ad-hoc use)
+                out["suffix_keys"][i] = K.suffix_keys_for_text(
+                    text or "", cfg.suffix_window, cfg.suffix_gap, cfg.lcp_min
+                )
             yield pd.DataFrame(out)
 
     return fn

@@ -34,33 +34,34 @@ def explode_simhash_bands(signatures: DataFrame) -> DataFrame:
     )
 
 
-def explode_all_bands(signatures: DataFrame, include_simhash: bool = True) -> DataFrame:
-    """Both lanes in ONE scan of the signatures table.
+def explode_all_bands(
+    signatures: DataFrame,
+    include_simhash: bool = True,
+    include_suffix: bool = False,
+) -> DataFrame:
+    """All lanes in ONE scan of the signatures table.
 
-    A self-union of the two per-lane selects would defeat Spark's
+    A self-union of the per-lane selects would defeat Spark's
     cache/exchange reuse (plan canonicalization misses across union branches —
     measured ~50x recompute cost), so the lanes are concatenated per-row into
     one array<struct> and exploded JVM-side."""
-    mh = F.transform(
-        "band_keys",
-        lambda k, i: F.struct(
-            F.lit("minhash").alias("lane"),
-            i.cast("int").alias("band_id"),
-            k.alias("band_key"),
-        ),
-    )
-    if include_simhash:
-        sh = F.transform(
-            "simhash_keys",
+
+    def lane(col: str, name: str) -> "F.Column":
+        return F.transform(
+            col,
             lambda k, i: F.struct(
-                F.lit("simhash").alias("lane"),
-                i.cast("int").alias("band_id"),
+                F.lit(name).alias("lane"),
+                (i if name != "suffix" else F.lit(0)).cast("int").alias("band_id"),
                 k.alias("band_key"),
             ),
         )
-        combined = F.concat(mh, sh)
-    else:
-        combined = mh
+
+    parts = [lane("band_keys", "minhash")]
+    if include_simhash:
+        parts.append(lane("simhash_keys", "simhash"))
+    if include_suffix:
+        parts.append(lane("suffix_keys", "suffix"))
+    combined = F.concat(*parts) if len(parts) > 1 else parts[0]
     return signatures.select(
         "doc_id", F.explode(combined).alias("band")
     ).select("doc_id", "band.lane", "band.band_id", "band.band_key")

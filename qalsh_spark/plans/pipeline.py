@@ -24,7 +24,7 @@ from qalsh_spark.operators.components import (
     connected_components,
 )
 from qalsh_spark.operators.pairs import candidate_pairs_from_buckets
-from qalsh_spark.operators.suffix import SUFFIX_BUCKET_CAP, suffix_buckets
+from qalsh_spark.operators.suffix import SUFFIX_BUCKET_CAP
 from qalsh_spark.operators.verify import verify_pairs
 from qalsh_spark.sources.catalog import StageCatalog
 
@@ -56,25 +56,26 @@ class DedupPipeline:
         return sign_documents(documents, self.cfg)
 
     def buckets(self, signatures: DataFrame) -> DataFrame:
-        return explode_all_bands(signatures, include_simhash=self.enable_simhash)
+        return explode_all_bands(
+            signatures,
+            include_simhash=self.enable_simhash,
+            include_suffix=self.enable_suffix,
+        )
 
     def candidate_pairs(
-        self, signatures: DataFrame, documents_with_id: DataFrame | None
+        self, signatures: DataFrame
     ) -> tuple[DataFrame, DataFrame]:
-        """All lanes (minhash + simhash bands, suffix keys) are unioned into
-        ONE bucket stream and pair-generated in a single pass — one shuffle
-        schedule, one skew treatment, per-lane caps."""
-        buckets = self.buckets(signatures)
+        """All lanes (minhash + simhash bands, suffix keys — all columns of
+        the signatures table, emitted by the single signing pass) explode
+        into ONE bucket stream and pair-generate in a single pass — one
+        shuffle schedule, one skew treatment, per-lane caps."""
         caps: dict[str, int] = {
             "minhash": self.cfg.bucket_cap,
             "simhash": self.cfg.bucket_cap,
         }
-        if self.enable_suffix and documents_with_id is not None:
-            buckets = buckets.unionByName(
-                suffix_buckets(documents_with_id, self.cfg)
-            )
+        if self.enable_suffix:
             caps["suffix"] = SUFFIX_BUCKET_CAP
-        return candidate_pairs_from_buckets(buckets, caps)
+        return candidate_pairs_from_buckets(self.buckets(signatures), caps)
 
     def verify(
         self,
@@ -114,14 +115,14 @@ class DedupPipeline:
             return df
 
         signatures = stage("signatures", lambda: self.sign(documents))
-        # Suffix lane reads documents directly (doc_id is a pure md5 column
-        # expression) — no dependency on the signatures plan, so the pairs
-        # union can't trigger a signature recompute.
+        # Verify re-derives candidate shingle sets from the raw text (the
+        # reference's verify-time point fetch); doc_id is a pure md5 column
+        # expression so this plan is independent of the signatures plan.
         docs_with_id = with_doc_id(_with_text(documents))
         pairs_holder: dict = {}
 
         def make_pairs():
-            p, s = self.candidate_pairs(signatures, docs_with_id)
+            p, s = self.candidate_pairs(signatures)
             pairs_holder["stats"] = s
             return p
 

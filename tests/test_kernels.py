@@ -103,6 +103,28 @@ def test_lcp():
     assert K.lcp("same", "same") == 4
 
 
+def test_suffix_keys_shared_run():
+    """Docs sharing a >=200-char verbatim run must share >=1 suffix key
+    (key = hash of lcp_min bytes after a content-defined anchor), and docs
+    with unrelated text must share none."""
+    run = (
+        "x" * 50
+        + " the shared verbatim canonical passage of considerable length "
+        "repeated across documents " * 4
+    )
+    doc_a = "prefix one two three " + run + " suffix alpha"
+    doc_b = "completely different beginning text here " + run + " other ending"
+    doc_c = "nothing in common with the others at all just filler words " * 10
+    ka = set(K.suffix_keys_for_text(doc_a).tolist())
+    kb = set(K.suffix_keys_for_text(doc_b).tolist())
+    kc = set(K.suffix_keys_for_text(doc_c).tolist())
+    assert ka & kb, "shared verbatim run must produce shared suffix keys"
+    assert not (ka & kc) and not (kb & kc)
+    # short docs / empty docs yield no keys, no crash
+    assert len(K.suffix_keys_for_text("")) == 0
+    assert len(K.suffix_keys_for_text("tiny")) == 0
+
+
 def test_doc_id_from_url_known_value():
     import hashlib
 
