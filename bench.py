@@ -43,6 +43,10 @@ def main() -> None:
         app_name="qalsh-bench",
         master=f"local[{cpus}]",
         shuffle_partitions=max(int(cpus), 16),
+        # Same rule as jobs/dedup.py --aqe auto: at bench-scale inputs (well
+        # under 10M rows) AQE's per-exchange re-planning latency dominates
+        # its benefits; skew is handled structurally (bucket caps + star).
+        extra_conf={"spark.sql.adaptive.enabled": "false"},
     )
     # warm the JVM + Python worker pool so per-query numbers measure the
     # engine, not process spin-up

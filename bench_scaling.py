@@ -39,9 +39,15 @@ def run_level(corpus: str, cpus: int) -> dict:
         "--cpus", str(cpus),
         "--json",
     ]
+    env = dict(os.environ)
+    # Big-corpus levels cache ~GBs of stage output (signatures/buckets/pairs)
+    # per the stage-persist design; size the single-JVM heap so the measured
+    # walls reflect compute, not cache-eviction churn.  A real cluster sizes
+    # executor memory the same way (spark.executor.memory).
+    env.setdefault("QALSH_DRIVER_MEM", "24g")
     t0 = time.time()
     out = subprocess.run(
-        cmd, capture_output=True, text=True, cwd=REPO, timeout=3600
+        cmd, capture_output=True, text=True, cwd=REPO, timeout=3600, env=env
     )
     if out.returncode != 0:
         sys.stderr.write(out.stderr[-4000:])

@@ -27,8 +27,14 @@ class DedupConfig:
     minhash_seed: int = 6         # mirrors srand(6) @ reference methods/main.cc:152
 
     # --- SimHash lane -------------------------------------------------------
+    # Manku block-combination banding: C(blocks, key_blocks) keys per doc,
+    # each ~ (key_blocks/blocks)*64 bits wide; guarantees discovery for
+    # hamming <= blocks - key_blocks.  (A naive 4x16-bit pigeonhole saturates
+    # its 65k-bucket key space around 10^5 docs and floods quadratic random
+    # collisions — see kernels.simhash_band_keys.)
     simhash_bits: int = 64
-    simhash_bands: int = 4        # pigeonhole: hamming<=3 -> >=1 of 4 16-bit bands equal
+    simhash_blocks: int = 6
+    simhash_key_blocks: int = 3
     hamming_max: int = 3
 
     # --- suffix (exact substring) lane -------------------------------------
@@ -49,8 +55,11 @@ class DedupConfig:
             raise ValueError(
                 f"bands*rows ({self.bands}*{self.rows}) must equal num_perm ({self.num_perm})"
             )
-        if self.simhash_bits % self.simhash_bands != 0:
-            raise ValueError("simhash_bits must be divisible by simhash_bands")
+        if self.simhash_blocks - self.simhash_key_blocks < self.hamming_max:
+            raise ValueError(
+                "simhash blocks - key_blocks must be >= hamming_max for the "
+                "pigeonhole discovery guarantee"
+            )
 
     # ------------------------------------------------------------------
     def config_hash(self) -> str:
@@ -91,8 +100,8 @@ class DedupConfig:
         return self.band_collision_prob(s, self.bands, self.rows)
 
     @property
-    def simhash_band_width(self) -> int:
-        return self.simhash_bits // self.simhash_bands
+    def simhash_n_keys(self) -> int:
+        return math.comb(self.simhash_blocks, self.simhash_key_blocks)
 
 
 def effective_parallelism(n_docs: int, target_rows_per_task: int = 250_000) -> int:

@@ -90,8 +90,8 @@ def _sign_batches(cfg: DedupConfig):
                     cfg.shingle_k,
                     cfg.bands,
                     cfg.rows,
-                    cfg.simhash_bands,
-                    cfg.simhash_band_width,
+                    cfg.simhash_blocks,
+                    cfg.simhash_key_blocks,
                 )
                 out["n_tokens"][i] = s["n_tokens"]
                 out["shingle_count"][i] = len(s["shingles"])

@@ -23,6 +23,7 @@ All functions are deterministic, vectorized, and dependency-free (NumPy only).
 from __future__ import annotations
 
 import re
+from itertools import combinations as _combinations
 
 import numpy as np
 
@@ -133,16 +134,50 @@ def band_hashes(minhash: np.ndarray, bands: int, rows: int) -> np.ndarray:
     return _mix64(h).view(np.int64)
 
 
-def simhash_band_keys(fp: int, n_bands: int = 4, width: int = 16) -> np.ndarray:
-    """Split a 64-bit simhash into n_bands chunks of `width` bits. Pigeonhole:
-    two fingerprints with Hamming distance <= n_bands-1 share >=1 chunk."""
-    u = np.uint64(np.int64(fp).astype(np.uint64))
-    mask = np.uint64((1 << width) - 1)
-    out = np.empty(n_bands, dtype=np.int64)
-    for i in range(n_bands):
-        chunk = (u >> np.uint64(i * width)) & mask
-        out[i] = np.int64(chunk)
-    return out
+
+def _simhash_block_bounds(bits: int, blocks: int) -> list[tuple[int, int]]:
+    """Fixed near-even split of `bits` into `blocks` contiguous ranges."""
+    base, rem = divmod(bits, blocks)
+    bounds, pos = [], 0
+    for i in range(blocks):
+        w = base + (1 if i < rem else 0)
+        bounds.append((pos, w))
+        pos += w
+    return bounds
+
+
+def simhash_band_keys(
+    fp: int, blocks: int = 6, key_blocks: int = 3, bits: int = 64
+) -> np.ndarray:
+    """Manku-style block-combination keys for Hamming-<=k discovery at scale.
+
+    Split the fingerprint into `blocks` near-even bit blocks; emit one key
+    per combination of `key_blocks` blocks (key = mix of the chosen block
+    values + combination id).  <=(blocks - key_blocks) flipped bits leave at
+    least `key_blocks` blocks intact, so SOME combination is fully intact on
+    both sides -> >=1 shared key (guaranteed discovery for
+    hamming <= blocks - key_blocks).
+
+    Why not the naive 4x16-bit pigeonhole: a 16-bit key space saturates at
+    ~10^5 documents — beyond that every bucket fills with RANDOM collisions
+    and candidate pairs grow quadratically with corpus size (measured: 27M
+    junk pairs at 10^6 docs).  Three-block keys carry ~32 bits, pushing
+    saturation out by ~2^16 while keeping the same Hamming-3 guarantee at
+    C(6,3)=20 keys/doc."""
+    u = np.uint64(int(fp) & 0xFFFFFFFFFFFFFFFF)
+    bounds = _simhash_block_bounds(bits, blocks)
+    vals = []
+    for pos, w in bounds:
+        vals.append((u >> np.uint64(pos)) & np.uint64((1 << w) - 1))
+    combos = list(_combinations(range(blocks), key_blocks))
+    out = np.empty(len(combos), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for ci, combo in enumerate(combos):
+            h = np.uint64(ci + 1) * _M1
+            for b in combo:
+                h = (h ^ vals[b]) * _M2
+            out[ci] = h
+    return _mix64(out).view(np.int64)
 
 
 # --- suffix (exact substring) lane ------------------------------------------
@@ -241,8 +276,8 @@ def sign_document(
     shingle_k: int = 3,
     bands: int = 32,
     rows: int = 4,
-    simhash_bands: int = 4,
-    simhash_width: int = 16,
+    simhash_blocks: int = 6,
+    simhash_key_blocks: int = 3,
 ) -> dict:
     """One-stop per-document signature bundle (used by oracle and by the
     batch UDF loop): shingles, minhash, band keys, simhash, simhash band keys."""
@@ -260,7 +295,7 @@ def sign_document(
         "minhash": mh,
         "band_keys": band_hashes(mh, bands, rows),
         "simhash": fp,
-        "simhash_keys": simhash_band_keys(fp, simhash_bands, simhash_width),
+        "simhash_keys": simhash_band_keys(fp, simhash_blocks, simhash_key_blocks),
     }
 
 

@@ -58,27 +58,29 @@ def token_jaccard_pairs(
     toks = documents.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(F.split(F.lower("text"), " "))).alias("tok"),
-    ).filter(F.col("tok") != "")
+    ).filter(F.col("tok") != "").persist()
     sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
     rare = toks.join(
         toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df")),
         on="tok",
     ).filter(F.col("df") <= max_token_df)
-    shared = (
+    cand = (
         rare.alias("x")
         .join(rare.alias("y"), on="tok")
         .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-        .groupBy(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
-        .agg(F.count("*").alias("n_shared_rare"))
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .distinct()
     )
-    # full shared-token count for surviving candidate pairs
+    # Full shared-token count computed ONLY for the discovered candidate
+    # pairs: attach each side's token stream to the pair and count matches.
+    # (Counting via an unrestricted toks-self-join would explode on high-df
+    # tokens — the token join key must stay df-bounded; here the big joins
+    # key on doc id instead.)
     full_shared = (
-        toks.alias("x")
-        .join(toks.alias("y"), on="tok")
-        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
-        .groupBy(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        cand.join(toks.withColumnRenamed("doc_id", "a"), on="a")
+        .join(toks.withColumnRenamed("doc_id", "b"), on=["b", "tok"])
+        .groupBy("a", "b")
         .agg(F.count("*").alias("n_shared"))
-        .join(shared.select("a", "b"), on=["a", "b"], how="leftsemi")
     )
     out = (
         full_shared.join(sizes.withColumnRenamed("doc_id", "a"), on="a")

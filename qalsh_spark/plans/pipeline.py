@@ -1,11 +1,22 @@
 """The end-to-end dedup pipeline DAG (SURVEY.md §3.4):
 
-ingest -> extract+sign -> bucket -> pairs -> verify -> cluster -> report
+ingest -> extract -> exact-group -> sign -> bucket -> pairs -> verify
+       -> cluster -> report
 
 Each stage is a pure DataFrame -> DataFrame function; materialization +
 resume is delegated to StageCatalog (checkpoint per stage, skip when a valid
 manifest exists — the analog of the reference's index-reload constructor,
 /root/reference/methods/qalsh.h:322-341).
+
+The exact-group pre-pass is load-bearing for scale: byte-identical texts
+(boilerplate templates, mirrored pages) form groups whose size grows with
+corpus size, and while such a group is under the bucket cap its all-pairs
+LSH bucket emits O(size^2) pairs — i.e. total candidate pairs grow
+QUADRATICALLY with corpus size (measured: 2.5x docs -> 9x wall before this
+pass).  Grouping identical texts first (one hash groupBy, fully linear),
+signing only one representative per distinct text, and wiring members to
+their representative with pre-verified edges removes the quadratic exactly
+— the classic exact-then-near dedup staging of web-corpus pipelines.
 """
 
 from __future__ import annotations
@@ -85,9 +96,9 @@ class DedupPipeline:
     ) -> DataFrame:
         return verify_pairs(pairs, signatures, self.cfg, documents_with_id)
 
-    def cluster(self, edges: DataFrame, signatures: DataFrame) -> DataFrame:
-        comp = connected_components(edges)
-        return clusters_with_representatives(comp, signatures)
+    def cluster(self, edges: DataFrame, meta: DataFrame) -> DataFrame:
+        comp = connected_components(edges.select("a", "b"))
+        return clusters_with_representatives(comp, meta)
 
     # -- end-to-end ------------------------------------------------------
     def run(
@@ -114,11 +125,41 @@ class DedupPipeline:
                 df = df.persist()
             return df
 
-        signatures = stage("signatures", lambda: self.sign(documents))
-        # Verify re-derives candidate shingle sets from the raw text (the
-        # reference's verify-time point fetch); doc_id is a pure md5 column
-        # expression so this plan is independent of the signatures plan.
-        docs_with_id = with_doc_id(_with_text(documents))
+        # extract + id + exact-group key, one narrow table reused everywhere
+        prepared = stage("prepared", lambda: _prepare(documents))
+
+        # Narrow columns only for the membership edges (text never shuffles
+        # here): one hash groupBy + one small join.
+        ids = prepared.select("text_hash", "doc_id")
+        groups = ids.groupBy("text_hash").agg(F.min("doc_id").alias("rep_id"))
+        # members wire to their group representative with pre-verified edges
+        # (byte-identical text: jaccard 1, hamming 0); a<b holds since the
+        # representative is the group min
+        exact_edges = (
+            ids.join(groups, on="text_hash")
+            .filter(F.col("doc_id") != F.col("rep_id"))
+            .select(
+                F.col("rep_id").alias("a"),
+                F.col("doc_id").alias("b"),
+                F.lit(1.0).alias("jaccard"),
+                F.lit(0).alias("hamming"),
+                F.array(F.lit("exact")).alias("lanes"),
+            )
+        )
+        # Representative rows (the only fat shuffle of this pre-pass):
+        # row_number()==1 compiles to WindowGroupLimit, which STREAMS each
+        # text_hash group and keeps one row — bounded memory even for a
+        # billion-member boilerplate group, unlike a collect/self-join.
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("text_hash").orderBy("doc_id")
+        reps = (
+            prepared.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("url", "warc_ts", "lang", "text")
+        )
+
+        signatures = stage("signatures", lambda: self.sign(reps))
         pairs_holder: dict = {}
 
         def make_pairs():
@@ -127,11 +168,51 @@ class DedupPipeline:
             return p
 
         pairs = stage("pairs", make_pairs)
-        edges = stage("edges", lambda: self.verify(pairs, signatures, docs_with_id))
-        clusters = stage("clusters", lambda: self.cluster(edges, signatures))
+
+        def make_edges():
+            verified = self.verify(pairs, signatures, prepared)
+            return verified.unionByName(exact_edges)
+
+        edges = stage("edges", make_edges)
+        clusters = stage(
+            "clusters",
+            lambda: self.cluster(
+                edges, prepared.select("doc_id", "url", "warc_ts")
+            ),
+        )
         return DedupResult(
             signatures, pairs, edges, clusters, pairs_holder.get("stats")
         )
+
+
+def _prepare(documents: DataFrame) -> DataFrame:
+    """Stage 'prepared': extract text (when only html is present), mint the
+    deterministic doc_id, and key every row by the byte-exact text hash for
+    the exact-group pre-pass.  Output: (url, warc_ts, lang, text, doc_id,
+    text_hash) — the narrow table every later stage joins against."""
+    from qalsh_spark.functions.signatures import extract_text_udf
+
+    cols = set(documents.columns)
+    df = documents
+    if "text" not in cols and "html" in cols:
+        df = df.withColumn("text", extract_text_udf(F.col("html")))
+    elif "html" in cols:
+        df = df.withColumn(
+            "text",
+            F.when(F.col("text").isNull(), extract_text_udf(F.col("html"))).otherwise(
+                F.col("text")
+            ),
+        )
+    if "warc_ts" not in cols:
+        df = df.withColumn("warc_ts", F.lit(None).cast("timestamp"))
+    if "lang" not in cols:
+        df = df.withColumn("lang", F.lit(None).cast("string"))
+    df = df.withColumn("text", F.coalesce(F.col("text"), F.lit("")))
+    df = with_doc_id(df)
+    return df.select(
+        "url", "warc_ts", "lang", "text", "doc_id",
+        F.xxhash64("text").alias("text_hash"),
+    )
 
 
 def _with_text(documents: DataFrame) -> DataFrame:

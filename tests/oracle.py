@@ -67,24 +67,42 @@ def run_oracle(
     # Shared id space with the engine: doc_id = md5(url) prefix as int64.
     ids = [K.doc_id_from_url(u) for u in urls]
     assert len(set(ids)) == n, "doc_id collision in oracle input"
+    texts = [t or "" for t in texts]
+    by_id = dict(zip(ids, texts))
 
-    # --- sign ----------------------------------------------------------
+    # --- exact-group pre-pass (plans/pipeline.py parity) ----------------
+    # Byte-identical texts collapse to one representative (min doc_id);
+    # members wire to the representative with pre-verified edges, and only
+    # representatives enter the LSH lanes.
+    groups: dict[str, list[int]] = collections.defaultdict(list)
+    for d, t in zip(ids, texts):
+        groups[t].append(d)
+    exact_edges: set[tuple[int, int]] = set()
+    rep_ids: list[int] = []
+    for t, members in groups.items():
+        rep = min(members)
+        rep_ids.append(rep)
+        for m in members:
+            if m != rep:
+                exact_edges.add((rep, m))
+
+    # --- sign (representatives only) ------------------------------------
     sigs: dict[int, dict] = {}
-    for i, d in enumerate(ids):
+    for d in rep_ids:
         sigs[d] = K.sign_document(
-            texts[i] or "",
+            by_id[d],
             a,
             b,
             cfg.shingle_k,
             cfg.bands,
             cfg.rows,
-            cfg.simhash_bands,
-            cfg.simhash_band_width,
+            cfg.simhash_blocks,
+            cfg.simhash_key_blocks,
         )
 
     # --- bucket (minhash + simhash lanes) ------------------------------
     buckets: dict[tuple, list[int]] = collections.defaultdict(list)
-    for d in ids:
+    for d in rep_ids:
         for band_id, key in enumerate(sigs[d]["band_keys"]):
             buckets[("minhash", band_id, int(key))].append(d)
         if enable_simhash:
@@ -111,9 +129,9 @@ def run_oracle(
     # anchor; key equality IS the LCP >= lcp_min verification.
     if enable_suffix:
         sbuckets: dict[int, set[int]] = collections.defaultdict(set)
-        for i, d in enumerate(ids):
+        for d in rep_ids:
             for k in K.suffix_keys_for_text(
-                texts[i] or "", cfg.suffix_window, cfg.suffix_gap, cfg.lcp_min
+                by_id[d], cfg.suffix_window, cfg.suffix_gap, cfg.lcp_min
             ):
                 sbuckets[int(k)].add(d)
         from qalsh_spark.operators.suffix import SUFFIX_BUCKET_CAP
@@ -132,7 +150,7 @@ def run_oracle(
                     pairs.add((hub, m, "suffix"))
 
     # --- verify (operators/verify.py per-lane rules) --------------------
-    edges: set[tuple[int, int]] = set()
+    edges: set[tuple[int, int]] = set(exact_edges)
     for x, y, lane in pairs:
         sx, sy = sigs[x], sigs[y]
         if lane == "suffix":

@@ -79,11 +79,21 @@ def test_band_hashes_shape_and_sensitivity():
 
 
 def test_simhash_band_keys_pigeonhole():
+    """Manku block-combination guarantee: hamming <= blocks-key_blocks
+    implies >=1 shared key; unrelated fingerprints share none."""
     fp1 = 0b1011_0001
     fp2 = fp1 ^ (1 << 20) ^ (1 << 40) ^ (1 << 60)  # hamming 3
-    k1 = K.simhash_band_keys(fp1, 4, 16)
-    k2 = K.simhash_band_keys(fp2, 4, 16)
-    assert (k1 == k2).sum() >= 1
+    k1 = K.simhash_band_keys(fp1, 6, 3)
+    k2 = K.simhash_band_keys(fp2, 6, 3)
+    assert len(k1) == 20 and len(k2) == 20
+    assert len(set(k1.tolist()) & set(k2.tolist())) >= 1
+    # worst case: 3 flips in 3 DIFFERENT blocks still leaves one intact combo
+    fp3 = fp1 ^ (1 << 2) ^ (1 << 30) ^ (1 << 63)
+    k3 = K.simhash_band_keys(fp3, 6, 3)
+    assert len(set(k1.tolist()) & set(k3.tolist())) >= 1
+    # unrelated fingerprint: no shared keys
+    k4 = K.simhash_band_keys(0x5A5A_A5A5_DEAD_BEEF, 6, 3)
+    assert not set(k1.tolist()) & set(k4.tolist())
 
 
 def test_anchors_content_defined():
