@@ -1,13 +1,19 @@
-"""Band explosion: signatures -> (doc_id, lane, band_id, band_key) bucket rows.
+"""Band explosion: signatures -> (doc_id, lane_id, band_key) bucket rows.
 
 This is the distributed reimagination of the reference's m sorted projection
 tables (/root/reference/methods/qalsh.h:285-307): instead of m B+-trees probed
-per query, all m=bands bucket memberships are materialized at once and
+per query, all band/bucket memberships are materialized at once and
 Catalyst's shuffle groups colliding documents — "all points whose projection
 falls in the same query-anchored bucket" (methods/qalsh.h:435-468) becomes
 "all docs whose band key is equal".
 
-posexplode is JVM-side (whole-stage codegen) — no Python here.
+Bucket rows are deliberately SLIM — (doc_id long, lane_id byte, band_key
+long) — because they are the highest-volume shuffle in the engine (~120
+rows/doc).  The band index is already mixed INTO each key by the kernels
+(minhash: band position, simhash: block-combination id), so a separate
+band_id column would be redundant; the lane tag rides as one byte.
+
+posexplode/transform are JVM-side (whole-stage codegen) — no Python here.
 """
 
 from __future__ import annotations
@@ -15,23 +21,44 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+# lane tags (byte-sized) shared by pair generation / verification
+LANE_MINHASH = 0
+LANE_SIMHASH = 1
+LANE_SUFFIX = 2
+LANE_NAMES = {LANE_MINHASH: "minhash", LANE_SIMHASH: "simhash", LANE_SUFFIX: "suffix"}
+
+
+def lane_name_col(lane_id_col):
+    """lane_id byte -> human-readable lane name (tiny data only: stats,
+    final edges)."""
+    expr = F.lit("unknown")
+    for lid, name in LANE_NAMES.items():
+        expr = F.when(lane_id_col == F.lit(lid), F.lit(name)).otherwise(expr)
+    return expr
+
+
+def _lane(col: str, lane_id: int):
+    return F.transform(
+        col,
+        lambda k: F.struct(
+            F.lit(lane_id).cast("tinyint").alias("lane_id"),
+            k.alias("band_key"),
+        ),
+    )
+
 
 def explode_minhash_bands(signatures: DataFrame) -> DataFrame:
     return signatures.select(
-        "doc_id",
-        F.lit("minhash").alias("lane"),
-        F.posexplode("band_keys").alias("band_id", "band_key"),
-    )
+        "doc_id", F.explode(_lane("band_keys", LANE_MINHASH)).alias("band")
+    ).select("doc_id", "band.lane_id", "band.band_key")
 
 
 def explode_simhash_bands(signatures: DataFrame) -> DataFrame:
-    """SimHash pigeonhole bands: docs at Hamming distance <= (n_bands-1) share
-    at least one band chunk, so equality bucketing finds them."""
+    """SimHash block-combination keys (kernels.simhash_band_keys): docs at
+    Hamming distance <= blocks-key_blocks share >=1 key."""
     return signatures.select(
-        "doc_id",
-        F.lit("simhash").alias("lane"),
-        F.posexplode("simhash_keys").alias("band_id", "band_key"),
-    )
+        "doc_id", F.explode(_lane("simhash_keys", LANE_SIMHASH)).alias("band")
+    ).select("doc_id", "band.lane_id", "band.band_key")
 
 
 def explode_all_bands(
@@ -45,23 +72,12 @@ def explode_all_bands(
     cache/exchange reuse (plan canonicalization misses across union branches —
     measured ~50x recompute cost), so the lanes are concatenated per-row into
     one array<struct> and exploded JVM-side."""
-
-    def lane(col: str, name: str) -> "F.Column":
-        return F.transform(
-            col,
-            lambda k, i: F.struct(
-                F.lit(name).alias("lane"),
-                (i if name != "suffix" else F.lit(0)).cast("int").alias("band_id"),
-                k.alias("band_key"),
-            ),
-        )
-
-    parts = [lane("band_keys", "minhash")]
+    parts = [_lane("band_keys", LANE_MINHASH)]
     if include_simhash:
-        parts.append(lane("simhash_keys", "simhash"))
+        parts.append(_lane("simhash_keys", LANE_SIMHASH))
     if include_suffix:
-        parts.append(lane("suffix_keys", "suffix"))
+        parts.append(_lane("suffix_keys", LANE_SUFFIX))
     combined = F.concat(*parts) if len(parts) > 1 else parts[0]
     return signatures.select(
         "doc_id", F.explode(combined).alias("band")
-    ).select("doc_id", "band.lane", "band.band_id", "band.band_key")
+    ).select("doc_id", "band.lane_id", "band.band_key")

@@ -8,12 +8,13 @@ of l/m — SURVEY.md §2.2 P2); dedup across the bands that both docs share is a
 
 Skew design (SURVEY.md §4 "skew handling", north-rule mandate):
   - bucket sizes come from a map-side-combinable groupBy count; the join back
-    is an equi-join on the bucket key that AQE skew-splits;
+    is an equi-join on the bucket key (hash join preferred — session config
+    disables sort-merge preference, sparing a sort of the ~120-rows/doc
+    bucket stream);
   - buckets with size <= bucket_cap emit all C(size,2) pairs via
     collect_list (array bounded by the cap) + a nested `transform` +
     `explode` — whole-stage-codegen JVM, no Python, no per-group pandas
-    overhead (a pandas-per-group version measured ~17 s on 7k groups after
-    AQE coalesced them into one task; this runs in <1 s);
+    overhead;
   - hot buckets (boilerplate pages: size up to millions) switch to STAR
     pairing — every member pairs with the bucket's min doc_id, a projection
     after the size join (no giant collect_list, no single-task sort).  Star
@@ -22,12 +23,20 @@ Skew design (SURVEY.md §4 "skew handling", north-rule mandate):
     transitively through verification + clustering (hot buckets are
     near-identical docs by construction);
   - elided pair counts are reported in bucket_stats (no-silent-caps rule).
+
+Bucket rows are slim (doc_id, lane_id byte, band_key) and grouping is on
+`band_key` ALONE: every key construction mixes its own domain (minhash band
+position, simhash combination id, suffix content hash), so cross-lane or
+cross-band key collisions are 2^-64 events — a separate (lane, band_id)
+grouping key would only fatten the engine's highest-volume shuffle.
 """
 
 from __future__ import annotations
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
+
+from qalsh_spark.operators.banding import LANE_NAMES, lane_name_col
 
 
 def _pair_structs(ids_col):
@@ -41,79 +50,95 @@ def _pair_structs(ids_col):
     return F.flatten(F.transform(ids_col, inner))
 
 
+def _cap_expr(bucket_cap) -> F.Column:
+    if isinstance(bucket_cap, dict):
+        name_to_id = {v: k for k, v in LANE_NAMES.items()}
+        expr = None
+        for lane, c in bucket_cap.items():
+            lid = name_to_id[lane] if isinstance(lane, str) else lane
+            w = F.when(F.col("lane_id") == F.lit(lid), F.lit(c))
+            expr = w if expr is None else F.coalesce(expr, w)
+        return expr
+    return F.lit(bucket_cap)
+
+
 def candidate_pairs_from_buckets(
     buckets: DataFrame,
     bucket_cap: int | dict[str, int] = 64,
     dedup: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
-    """buckets(doc_id, lane, band_id, band_key) ->
-    (pairs(a, b, lane) deduped, bucket_stats).
+    """buckets(doc_id, lane_id, band_key) ->
+    (pairs(a, b, lane_id) deduped, bucket_stats).
     a < b always; doc order inside a bucket is ascending doc_id, so the
     pair set is deterministic (oracle parity).
 
     `bucket_cap` may be a per-lane dict (e.g. {"minhash": 64, "suffix": 32})
     so heterogeneous lanes share ONE pair-generation pass — fewer stages,
     one shuffle schedule, one skew story."""
-    keys = ["lane", "band_id", "band_key"]
-    if isinstance(bucket_cap, dict):
-        cap = F.coalesce(
-            *[
-                F.when(F.col("lane") == lane, F.lit(c))
-                for lane, c in bucket_cap.items()
-            ]
-        )
-    else:
-        cap = F.lit(bucket_cap)
+    cap = _cap_expr(bucket_cap)
 
     # The bucket rows feed multiple consumers (size agg, size join); persist
-    # so an expensive upstream (e.g. the suffix lane's Python key stage)
-    # executes exactly once.  Rows are ~30 bytes each.
+    # so an expensive upstream executes exactly once. Rows are ~17 bytes.
+    # (A one-shuffle two-level collect_list variant was measured 2.8x SLOWER
+    # here: array-building object aggregation over ~10^8 mostly-singleton
+    # groups loses badly to the primitive-typed codegen count/min aggregate
+    # + hash join below.)
     buckets = buckets.persist()
 
-    sizes = buckets.groupBy(*keys).agg(
+    sizes = buckets.groupBy("band_key").agg(
         F.count("*").alias("bucket_size"),
         F.min("doc_id").alias("hub"),
+        F.max("lane_id").alias("lane_id"),  # uniform within a bucket
     )
-    with_size = (
-        buckets.join(sizes.filter(F.col("bucket_size") >= 2), on=keys)
-        .withColumn("cap", cap)
-    )
+    with_size = buckets.drop("lane_id").join(
+        sizes.filter(F.col("bucket_size") >= 2), on="band_key"
+    ).withColumn("cap", cap)
 
     # small buckets: bounded collect_list -> JVM all-pairs
     small_arrays = (
         with_size.filter(F.col("bucket_size") <= F.col("cap"))
-        .groupBy(*keys)
+        .groupBy("band_key", "lane_id")
         .agg(F.array_sort(F.collect_list(F.col("doc_id"))).alias("members"))
     )
     small_pairs = small_arrays.select(
-        "lane",
+        "lane_id",
         F.explode(_pair_structs(F.col("members"))).alias("pair"),
-    ).select("pair.a", "pair.b", "lane")
+    ).select("pair.a", "pair.b", "lane_id")
 
     # hot buckets: star to the hub (min doc_id) — projection, no grouping
     big_pairs = with_size.filter(
         (F.col("bucket_size") > F.col("cap")) & (F.col("doc_id") != F.col("hub"))
-    ).select(F.col("hub").alias("a"), F.col("doc_id").alias("b"), "lane")
+    ).select(F.col("hub").alias("a"), F.col("doc_id").alias("b"), "lane_id")
 
     pairs = small_pairs.unionByName(big_pairs)
     if dedup:
-        pairs = pairs.dropDuplicates(["a", "b", "lane"])
+        pairs = pairs.dropDuplicates(["a", "b", "lane_id"])
 
     sizes_capped = sizes.withColumn("cap", cap)
-    stats = sizes_capped.groupBy("lane").agg(
-        F.count("*").alias("n_buckets"),
-        F.max("bucket_size").alias("max_bucket"),
-        F.sum(
-            F.when(F.col("bucket_size") > F.col("cap"), 1).otherwise(0)
-        ).alias("n_hot_buckets"),
-        F.sum(
-            F.when(
-                F.col("bucket_size") > F.col("cap"),
-                (F.col("bucket_size") * (F.col("bucket_size") - 1)) / 2
-                - (F.col("bucket_size") - 1),
-            ).otherwise(0)
+    stats = (
+        sizes_capped.groupBy("lane_id")
+        .agg(
+            F.count("*").alias("n_buckets"),
+            F.max("bucket_size").alias("max_bucket"),
+            F.sum(
+                F.when(F.col("bucket_size") > F.col("cap"), 1).otherwise(0)
+            ).alias("n_hot_buckets"),
+            F.sum(
+                F.when(
+                    F.col("bucket_size") > F.col("cap"),
+                    (F.col("bucket_size") * (F.col("bucket_size") - 1)) / 2
+                    - (F.col("bucket_size") - 1),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("pairs_elided_by_star"),
         )
-        .cast("long")
-        .alias("pairs_elided_by_star"),
+        .select(
+            lane_name_col(F.col("lane_id")).alias("lane"),
+            "n_buckets",
+            "max_bucket",
+            "n_hot_buckets",
+            "pairs_elided_by_star",
+        )
     )
     return pairs, stats

@@ -90,10 +90,11 @@ def suffix_buckets(documents_with_id: DataFrame, cfg: DedupConfig) -> DataFrame:
     if narrow.rdd.getNumPartitions() < target:
         narrow = narrow.repartition(target)
     keys = narrow.mapInPandas(_emit_suffix_keys(cfg), schema=_SUFFIX_SCHEMA)
+    from qalsh_spark.operators.banding import LANE_SUFFIX
+
     return keys.select(
         "doc_id",
-        F.lit("suffix").alias("lane"),
-        F.lit(0).alias("band_id"),
+        F.lit(LANE_SUFFIX).cast("tinyint").alias("lane_id"),
         "band_key",
     )
 
@@ -110,4 +111,8 @@ def substring_candidate_pairs(
     pairs, _stats = candidate_pairs_from_buckets(
         suffix_buckets(documents_with_id, cfg), bucket_cap=bucket_cap
     )
-    return pairs.dropDuplicates(["a", "b"])
+    from qalsh_spark.operators.banding import lane_name_col
+
+    return pairs.dropDuplicates(["a", "b"]).select(
+        "a", "b", lane_name_col(F.col("lane_id")).alias("lane")
+    )

@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame
 
 from qalsh_spark import kernels as K
 from qalsh_spark.config import DedupConfig
+from qalsh_spark.operators.banding import LANE_MINHASH, LANE_SIMHASH, LANE_SUFFIX, lane_name_col
 
 
 @F.pandas_udf(T.DoubleType())
@@ -72,6 +73,21 @@ def minhash_agreement(col_a: str, col_b: str):
     ) / F.size(F.col(col_a))
 
 
+def _position_tagged(minhash_col):
+    """minhash array<int> -> array<long> of (position << 32 | value) tags.
+    Positionwise agreement between two signatures then reduces to ONE
+    array_intersect size per pair (hash-set built-in) instead of a 128-wide
+    interpreted zip_with+aggregate per pair — the tags are computed once per
+    DOCUMENT, the intersects once per PAIR."""
+    mask = F.lit(4294967295)
+    return F.transform(
+        minhash_col,
+        lambda x, i: F.shiftleft(i.cast("long"), 32).bitwiseOR(
+            x.cast("long").bitwiseAND(mask)
+        ),
+    )
+
+
 def verify_pairs(
     pairs: DataFrame,
     signatures: DataFrame,
@@ -79,7 +95,7 @@ def verify_pairs(
     documents_with_id: DataFrame | None = None,
     prefilter_margin: float = 0.2,
 ) -> DataFrame:
-    """pairs(a,b,lane) x signatures -> edges(a, b, lanes, jaccard, hamming)
+    """pairs(a,b,lane_id) x signatures -> edges(a, b, lanes, jaccard, hamming)
     for pairs passing their lane's threshold.
 
     Per-lane acceptance (the oracle mirrors these rules exactly):
@@ -92,22 +108,28 @@ def verify_pairs(
     Jaccard re-derivation; when omitted, signatures must still carry a
     `shingles` column (legacy path for callers that precomputed it).
     """
-    sig = signatures.select("doc_id", "minhash", "simhash")
+    n_perm = cfg.num_perm
+    sig = signatures.select(
+        "doc_id", _position_tagged(F.col("minhash")).alias("mh_tags"), "simhash"
+    )
     j = (
         pairs.join(sig.withColumnRenamed("doc_id", "a"), on="a")
-        .withColumnsRenamed({"minhash": "mh_a", "simhash": "fp_a"})
+        .withColumnsRenamed({"mh_tags": "mh_a", "simhash": "fp_a"})
         .join(sig.withColumnRenamed("doc_id", "b"), on="b")
-        .withColumnsRenamed({"minhash": "mh_b", "simhash": "fp_b"})
+        .withColumnsRenamed({"mh_tags": "mh_b", "simhash": "fp_b"})
     )
     j = j.withColumn("hamming", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))))
-    j = j.withColumn("mh_est", minhash_agreement("mh_a", "mh_b"))
+    j = j.withColumn(
+        "mh_est",
+        F.size(F.array_intersect(F.col("mh_a"), F.col("mh_b"))) / F.lit(n_perm),
+    )
 
     # JVM prefilter: only pairs whose estimated Jaccard could plausibly reach
     # the gate pay the Python exact-Jaccard cost.
     est_ok = F.col("mh_est") >= F.lit(cfg.jaccard_threshold - prefilter_margin)
-    is_minhash = F.col("lane") == F.lit("minhash")
-    is_simhash = F.col("lane") == F.lit("simhash")
-    is_suffix = F.col("lane") == F.lit("suffix")
+    is_minhash = F.col("lane_id") == F.lit(LANE_MINHASH)
+    is_simhash = F.col("lane_id") == F.lit(LANE_SIMHASH)
+    is_suffix = F.col("lane_id") == F.lit(LANE_SUFFIX)
     passes_simhash = F.col("hamming") <= F.lit(cfg.hamming_max)
     # Persist the surviving narrow pair rows: they feed the candidate-id
     # derivation AND the final scoring pass; without this the signature
@@ -115,7 +137,7 @@ def verify_pairs(
     # re-execute once per consumer.
     j = (
         j.filter((is_minhash & est_ok) | is_simhash | is_suffix)
-        .select("a", "b", "lane", "hamming", "mh_est")
+        .select("a", "b", "lane_id", "hamming", "mh_est")
         .persist()
     )
 
@@ -160,13 +182,16 @@ def verify_pairs(
     passes_jaccard = F.col("jaccard") >= F.lit(cfg.jaccard_threshold)
     edges = j.filter(
         (is_minhash & passes_jaccard) | (is_simhash & passes_simhash) | is_suffix
-    ).select("a", "b", "lane", "jaccard", "hamming")
+    ).select("a", "b", "lane_id", "jaccard", "hamming")
     # One edge per (a,b): keep the strongest evidence, fold lanes.
     return (
         edges.groupBy("a", "b")
         .agg(
             F.max("jaccard").alias("jaccard"),
             F.min("hamming").alias("hamming"),
-            F.array_sort(F.collect_set("lane")).alias("lanes"),
+            F.transform(
+                F.array_sort(F.collect_set("lane_id")),
+                lambda i: lane_name_col(i),
+            ).alias("lanes"),
         )
     )

@@ -34,6 +34,15 @@ def get_spark(
             repo_root + (os.pathsep + existing if existing else "")
         )
 
+    # Shuffle/spill scratch: a real N-executor cluster brings N nodes' worth
+    # of local-disk bandwidth, but every "executor thread" of a local[k] run
+    # shares this host's ONE disk — making shuffle I/O a core-count-
+    # independent floor that misrepresents cluster scaling.  Default the
+    # scratch dir to tmpfs when available (the sandbox has 128 GB RAM);
+    # override with QALSH_LOCAL_DIR.
+    local_dir = os.environ.get("QALSH_LOCAL_DIR")
+    if local_dir is None and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/qalsh-spark-scratch"
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -45,12 +54,19 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
         .config("spark.python.worker.reuse", "true")
         .config("spark.python.daemon.module", "qalsh_spark.daemon")
+        # The engine's big equi-joins (bucket-size join, pair->signature
+        # joins) have a compact build side; shuffled HASH join skips the
+        # full sort of the ~120-rows/doc bucket stream that sort-merge
+        # would impose.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("QALSH_DRIVER_MEM", "8g"))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.ui.enabled", os.environ.get("QALSH_SPARK_UI", "false"))
         .config("spark.sql.session.timeZone", "UTC")
     )
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
