@@ -74,7 +74,9 @@ def main() -> None:
     spark = get_spark(
         app_name="qalsh-dedup",
         master=master,
-        shuffle_partitions=args.shuffle_partitions or max(2 * n_cores, 16),
+        # 4 waves per core-count: stage wall = slowest task, so finer
+        # partitions smooth skew; fewer than 16 loses pair-gen parallelism
+        shuffle_partitions=args.shuffle_partitions or max(4 * n_cores, 16),
         extra_conf={"spark.sql.adaptive.enabled": str(aqe_on).lower()},
     )
     # warm JVM + Python worker pool so the measured wall is the job, not spin-up

@@ -154,9 +154,11 @@ def sign_documents(documents: DataFrame, cfg: DedupConfig) -> DataFrame:
     # the session's full parallelism; at real scale (input splits >> cores)
     # this is a no-op-sized shuffle of narrow rows vs hours of signing.
     # (Streaming inputs keep their micro-batch partitioning — .rdd is not
-    # available on an unstarted stream.)
+    # available on an unstarted stream.)  3x parallelism, not 1x: one-wave
+    # scheduling makes the stage wall the SLOWEST task; finer waves smooth
+    # per-partition length skew and python-worker jitter.
     if not narrow.isStreaming:
-        target = narrow.sparkSession.sparkContext.defaultParallelism
+        target = 3 * narrow.sparkSession.sparkContext.defaultParallelism
         if narrow.rdd.getNumPartitions() < target:
             narrow = narrow.repartition(target)
     return narrow.mapInPandas(_sign_batches(cfg), schema=_SIGNATURE_SCHEMA)

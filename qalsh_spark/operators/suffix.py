@@ -81,12 +81,12 @@ def _emit_suffix_keys(cfg: DedupConfig):
 
 
 def suffix_buckets(documents_with_id: DataFrame, cfg: DedupConfig) -> DataFrame:
-    """documents(doc_id, text) -> bucket rows (doc_id, lane='suffix',
-    band_id=0, band_key) ready for the shared pair-generation pass."""
+    """documents(doc_id, text) -> slim bucket rows (doc_id, lane_id, band_key)
+    ready for the shared pair-generation pass."""
     narrow = documents_with_id.select("doc_id", "text")
     # same parallelism guard as sign_documents: don't let a small split count
-    # serialize the anchor-scan Python stage
-    target = narrow.sparkSession.sparkContext.defaultParallelism
+    # serialize the anchor-scan Python stage (3x for finer waves)
+    target = 3 * narrow.sparkSession.sparkContext.defaultParallelism
     if narrow.rdd.getNumPartitions() < target:
         narrow = narrow.repartition(target)
     keys = narrow.mapInPandas(_emit_suffix_keys(cfg), schema=_SUFFIX_SCHEMA)
