@@ -105,6 +105,8 @@ def main() -> None:
         clusters.write.format("noop").mode("overwrite").save()
         wall = time.time() - t0
         n_clusters = clusters.select("cluster_id").distinct().count()
+        clusters.unpersist()
+    res.release()
 
     metrics = {
         "n_docs": n_docs,

@@ -125,7 +125,7 @@ def byte_stats(media: DataFrame, id_col: str = "doc_id", content_col: str = "htm
     narrow = media.select(F.col(id_col).alias("doc_id"), F.col(content_col))
     if not narrow.isStreaming:
         target = narrow.sparkSession.sparkContext.defaultParallelism
-        if narrow.rdd.getNumPartitions() < target:
+        if len(narrow.inputFiles()) < target:
             narrow = narrow.repartition(target)
     return narrow.mapInPandas(fn, schema=_BYTE_STATS_SCHEMA)
 

@@ -59,6 +59,7 @@ _SIGNATURE_SCHEMA = T.StructType(
         T.StructField("simhash", T.LongType()),
         T.StructField("simhash_keys", T.ArrayType(T.LongType())),
         T.StructField("suffix_keys", T.ArrayType(T.LongType())),
+        T.StructField("suffix_checks", T.ArrayType(T.LongType())),
     ]
 )
 
@@ -81,6 +82,7 @@ def _sign_batches(cfg: DedupConfig):
                 "simhash": np.zeros(n, np.int64),
                 "simhash_keys": [None] * n,
                 "suffix_keys": [None] * n,
+                "suffix_checks": [None] * n,
             }
             for i, text in enumerate(pdf["text"].to_numpy()):
                 s = K.sign_document(
@@ -101,10 +103,14 @@ def _sign_batches(cfg: DedupConfig):
                 out["simhash_keys"][i] = s["simhash_keys"]
                 # suffix lane keys in the SAME text pass: one Python stage,
                 # one scan, no separate repartition (operators/suffix.py
-                # keeps a standalone path for ad-hoc use)
-                out["suffix_keys"][i] = K.suffix_keys_for_text(
+                # keeps a standalone path for ad-hoc use).  k1 buckets;
+                # the aligned k2 check hash makes edge acceptance a 128-bit
+                # test (kernels.suffix_key_pairs_for_text).
+                k1, k2 = K.suffix_key_pairs_for_text(
                     text or "", cfg.suffix_window, cfg.suffix_gap, cfg.lcp_min
                 )
+                out["suffix_keys"][i] = k1
+                out["suffix_checks"][i] = k2
             yield pd.DataFrame(out)
 
     return fn
@@ -153,12 +159,14 @@ def sign_documents(documents: DataFrame, cfg: DedupConfig) -> DataFrame:
     # the split count regardless of cluster size.  Round-robin repartition to
     # the session's full parallelism; at real scale (input splits >> cores)
     # this is a no-op-sized shuffle of narrow rows vs hours of signing.
-    # (Streaming inputs keep their micro-batch partitioning — .rdd is not
-    # available on an unstarted stream.)  3x parallelism, not 1x: one-wave
-    # scheduling makes the stage wall the SLOWEST task; finer waves smooth
-    # per-partition length skew and python-worker jitter.
+    # (Streaming inputs keep their micro-batch partitioning.)  3x
+    # parallelism, not 1x: one-wave scheduling makes the stage wall the
+    # SLOWEST task; finer waves smooth per-partition length skew and
+    # python-worker jitter.  The trigger is the source FILE count (cheap
+    # listing — no .rdd plan conversion): a big corpus arrives as many
+    # files and skips the repartition entirely.
     if not narrow.isStreaming:
         target = 3 * narrow.sparkSession.sparkContext.defaultParallelism
-        if narrow.rdd.getNumPartitions() < target:
+        if len(narrow.inputFiles()) < target:
             narrow = narrow.repartition(target)
     return narrow.mapInPandas(_sign_batches(cfg), schema=_SIGNATURE_SCHEMA)

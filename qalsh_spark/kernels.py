@@ -219,6 +219,50 @@ def suffixes_for_text(
     return out
 
 
+def suffix_key_pairs_for_text(
+    text: str, window: int = 16, gap: int = 32, lcp_min: int = 100
+) -> tuple[np.ndarray, np.ndarray]:
+    """(k1, k2) aligned int64 key arrays, one entry per content-defined
+    anchor: two INDEPENDENT polynomial hashes (different radix, different
+    pre-finalizer constant) of the same `lcp_min` bytes after the anchor.
+
+    k1 is the bucket key (identical to `suffix_keys_for_text`); k2 is the
+    verify-time check hash.  A suffix edge is accepted only when both docs
+    share a full (k1, k2) tuple — a 128-bit equality test.  At 10^9-doc /
+    ~10^11-key scale, 64-bit birthday collisions produce a handful of false
+    bucket merges (and a false dedup edge silently merges unrelated
+    clusters); requiring the independent second hash pushes the odds to
+    2^-128 — beyond corpus scale — while the high-volume bucket shuffle
+    still carries only the single 8-byte k1."""
+    data = np.frombuffer(text.encode("utf-8", "surrogatepass"), dtype=np.uint8)
+    n = len(data)
+    pos = anchors(text, window, gap)
+    pos = pos[pos + lcp_min <= n]
+    if len(pos) == 0:
+        e = np.empty(0, dtype=np.int64)
+        return e, e
+    win = np.lib.stride_tricks.sliding_window_view(data, lcp_min)[pos].astype(
+        np.uint64
+    )
+    with np.errstate(over="ignore"):
+        pows1 = np.empty(lcp_min, dtype=np.uint64)
+        pows2 = np.empty(lcp_min, dtype=np.uint64)
+        p1 = p2 = np.uint64(1)
+        for i in range(lcp_min):
+            pows1[lcp_min - 1 - i] = p1
+            pows2[lcp_min - 1 - i] = p2
+            p1 = p1 * _M2
+            p2 = p2 * _M1
+        h1 = _mix64((win * pows1[None, :]).sum(axis=1, dtype=np.uint64))
+        h2 = _mix64(
+            (win * pows2[None, :]).sum(axis=1, dtype=np.uint64) ^ _M4
+        )
+    # unique by k1 (equal k1 within one doc => same bytes => same k2),
+    # sorted ascending to keep output deterministic
+    _, first = np.unique(h1, return_index=True)
+    return h1[first].view(np.int64), h2[first].view(np.int64)
+
+
 def suffix_keys_for_text(
     text: str, window: int = 16, gap: int = 32, lcp_min: int = 100
 ) -> np.ndarray:
@@ -227,27 +271,14 @@ def suffix_keys_for_text(
 
     Key insight replacing the old payload+LCP verify: two suffixes have
     LCP >= lcp_min IFF their first lcp_min bytes are equal IFF their keys
-    are equal (modulo 2^-64 hash collisions) — so equality bucketing on this
-    key IS the verification, and the engine never has to shuffle suffix
-    strings at all.  Anchors with < lcp_min bytes remaining can never
-    witness a qualifying run and are dropped."""
-    data = np.frombuffer(text.encode("utf-8", "surrogatepass"), dtype=np.uint8)
-    n = len(data)
-    pos = anchors(text, window, gap)
-    pos = pos[pos + lcp_min <= n]
-    if len(pos) == 0:
-        return np.empty(0, dtype=np.int64)
-    win = np.lib.stride_tricks.sliding_window_view(data, lcp_min)[pos].astype(
-        np.uint64
-    )
-    with np.errstate(over="ignore"):
-        pows = np.empty(lcp_min, dtype=np.uint64)
-        p = np.uint64(1)
-        for i in range(lcp_min):
-            pows[lcp_min - 1 - i] = p
-            p = p * _M2
-        h = _mix64((win * pows[None, :]).sum(axis=1, dtype=np.uint64))
-    return np.unique(h).view(np.int64)
+    are equal — so equality bucketing on this key IS the (first-stage)
+    verification, and the engine never has to shuffle suffix strings at
+    all.  Edge acceptance additionally requires the independent check hash
+    (`suffix_key_pairs_for_text`) to match, closing the 64-bit birthday
+    window.  Anchors with < lcp_min bytes remaining can never witness a
+    qualifying run and are dropped."""
+    k1, _ = suffix_key_pairs_for_text(text, window, gap, lcp_min)
+    return k1
 
 
 def lcp(a: str, b: str) -> int:

@@ -7,19 +7,22 @@ of l/m — SURVEY.md §2.2 P2); dedup across the bands that both docs share is a
 `dropDuplicates`, the distributed `checked[id]` (methods/qalsh.h:443).
 
 Skew design (SURVEY.md §4 "skew handling", north-rule mandate):
-  - bucket sizes come from a map-side-combinable groupBy count; the join back
-    is an equi-join on the bucket key (hash join preferred — session config
-    disables sort-merge preference, sparing a sort of the ~120-rows/doc
-    bucket stream);
+  - ONE exchange of the high-volume bucket stream: bucket size and hub are
+    window aggregates over `partitionBy(band_key)` (count/min, no ordering),
+    so the annotated stream comes out of a single hash exchange + in-partition
+    sort instead of the groupBy-count + join-back double shuffle.  The
+    annotated stream is persisted once and every consumer (small-bucket pair
+    explosion, hot-bucket star projection, bucket stats) reads the cache with
+    partitioning preserved — no further full-stream exchanges;
   - buckets with size <= bucket_cap emit all C(size,2) pairs via
     collect_list (array bounded by the cap) + a nested `transform` +
     `explode` — whole-stage-codegen JVM, no Python, no per-group pandas
     overhead;
   - hot buckets (boilerplate pages: size up to millions) switch to STAR
     pairing — every member pairs with the bucket's min doc_id, a projection
-    after the size join (no giant collect_list, no single-task sort).  Star
-    keeps the bucket connected for clustering with graph diameter 2 at n-1
-    edges instead of O(n^2); dropped all-pairs edges are recovered
+    over the cached stream (no giant collect_list, no single-task sort).
+    Star keeps the bucket connected for clustering with graph diameter 2 at
+    n-1 edges instead of O(n^2); dropped all-pairs edges are recovered
     transitively through verification + clustering (hot buckets are
     near-identical docs by construction);
   - elided pair counts are reported in bucket_stats (no-silent-caps rule).
@@ -34,7 +37,7 @@ grouping key would only fatten the engine's highest-volume shuffle.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 from qalsh_spark.operators.banding import LANE_NAMES, lane_name_col
 
@@ -51,6 +54,10 @@ def _pair_structs(ids_col):
 
 
 def _cap_expr(bucket_cap) -> F.Column:
+    """Per-lane cap expression.  A lane present in the bucket stream but
+    absent from a dict cap falls back to the max configured cap (a NULL here
+    would make BOTH the small- and hot-bucket filters false and silently
+    drop every bucket of that lane)."""
     if isinstance(bucket_cap, dict):
         name_to_id = {v: k for k, v in LANE_NAMES.items()}
         expr = None
@@ -58,7 +65,8 @@ def _cap_expr(bucket_cap) -> F.Column:
             lid = name_to_id[lane] if isinstance(lane, str) else lane
             w = F.when(F.col("lane_id") == F.lit(lid), F.lit(c))
             expr = w if expr is None else F.coalesce(expr, w)
-        return expr
+        default = max(bucket_cap.values())
+        return F.coalesce(expr, F.lit(default))
     return F.lit(bucket_cap)
 
 
@@ -66,6 +74,7 @@ def candidate_pairs_from_buckets(
     buckets: DataFrame,
     bucket_cap: int | dict[str, int] = 64,
     dedup: bool = True,
+    persists: list | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """buckets(doc_id, lane_id, band_key) ->
     (pairs(a, b, lane_id) deduped, bucket_stats).
@@ -74,29 +83,36 @@ def candidate_pairs_from_buckets(
 
     `bucket_cap` may be a per-lane dict (e.g. {"minhash": 64, "suffix": 32})
     so heterogeneous lanes share ONE pair-generation pass — fewer stages,
-    one shuffle schedule, one skew story."""
+    one shuffle schedule, one skew story.
+
+    `persists`: optional list collecting the cached DataFrames this operator
+    creates, so the caller can unpersist them once pairs/stats are consumed
+    (DedupResult.release()); without it the cache lives until session end.
+    """
+    # Single exchange: size + hub as window aggregates (no orderBy => no
+    # rank semantics, just per-bucket count/min after one hash partition).
+    w = Window.partitionBy("band_key")
+    with_size = (
+        buckets.select(
+            "doc_id",
+            "lane_id",
+            "band_key",
+            F.count("*").over(w).cast("int").alias("bucket_size"),
+            F.min("doc_id").over(w).alias("hub"),
+        )
+        .persist()
+    )
+    if persists is not None:
+        persists.append(with_size)
     cap = _cap_expr(bucket_cap)
 
-    # The bucket rows feed multiple consumers (size agg, size join); persist
-    # so an expensive upstream executes exactly once. Rows are ~17 bytes.
-    # (A one-shuffle two-level collect_list variant was measured 2.8x SLOWER
-    # here: array-building object aggregation over ~10^8 mostly-singleton
-    # groups loses badly to the primitive-typed codegen count/min aggregate
-    # + hash join below.)
-    buckets = buckets.persist()
-
-    sizes = buckets.groupBy("band_key").agg(
-        F.count("*").alias("bucket_size"),
-        F.min("doc_id").alias("hub"),
-        F.max("lane_id").alias("lane_id"),  # uniform within a bucket
-    )
-    with_size = buckets.drop("lane_id").join(
-        sizes.filter(F.col("bucket_size") >= 2), on="band_key"
-    ).withColumn("cap", cap)
-
-    # small buckets: bounded collect_list -> JVM all-pairs
+    # small buckets: bounded collect_list -> JVM all-pairs.  groupBy keys
+    # start with band_key, so the cached HashPartitioning(band_key) satisfies
+    # the clustering requirement — no re-exchange.
     small_arrays = (
-        with_size.filter(F.col("bucket_size") <= F.col("cap"))
+        with_size.filter(
+            (F.col("bucket_size") >= 2) & (F.col("bucket_size") <= cap)
+        )
         .groupBy("band_key", "lane_id")
         .agg(F.array_sort(F.collect_list(F.col("doc_id"))).alias("members"))
     )
@@ -107,16 +123,20 @@ def candidate_pairs_from_buckets(
 
     # hot buckets: star to the hub (min doc_id) — projection, no grouping
     big_pairs = with_size.filter(
-        (F.col("bucket_size") > F.col("cap")) & (F.col("doc_id") != F.col("hub"))
+        (F.col("bucket_size") > cap) & (F.col("doc_id") != F.col("hub"))
     ).select(F.col("hub").alias("a"), F.col("doc_id").alias("b"), "lane_id")
 
     pairs = small_pairs.unionByName(big_pairs)
     if dedup:
         pairs = pairs.dropDuplicates(["a", "b", "lane_id"])
 
-    sizes_capped = sizes.withColumn("cap", cap)
+    # one row per bucket = its hub member; partial agg collapses to the 3
+    # lanes map-side, so the stats shuffle is a handful of rows
+    per_bucket = with_size.filter(F.col("doc_id") == F.col("hub")).withColumn(
+        "cap", cap
+    )
     stats = (
-        sizes_capped.groupBy("lane_id")
+        per_bucket.groupBy("lane_id")
         .agg(
             F.count("*").alias("n_buckets"),
             F.max("bucket_size").alias("max_bucket"),
@@ -126,7 +146,11 @@ def candidate_pairs_from_buckets(
             F.sum(
                 F.when(
                     F.col("bucket_size") > F.col("cap"),
-                    (F.col("bucket_size") * (F.col("bucket_size") - 1)) / 2
+                    (
+                        F.col("bucket_size").cast("long")
+                        * (F.col("bucket_size") - 1)
+                    )
+                    / 2
                     - (F.col("bucket_size") - 1),
                 ).otherwise(0)
             )

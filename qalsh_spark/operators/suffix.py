@@ -85,9 +85,10 @@ def suffix_buckets(documents_with_id: DataFrame, cfg: DedupConfig) -> DataFrame:
     ready for the shared pair-generation pass."""
     narrow = documents_with_id.select("doc_id", "text")
     # same parallelism guard as sign_documents: don't let a small split count
-    # serialize the anchor-scan Python stage (3x for finer waves)
+    # serialize the anchor-scan Python stage (3x for finer waves; file-count
+    # trigger — no .rdd plan conversion)
     target = 3 * narrow.sparkSession.sparkContext.defaultParallelism
-    if narrow.rdd.getNumPartitions() < target:
+    if len(narrow.inputFiles()) < target:
         narrow = narrow.repartition(target)
     keys = narrow.mapInPandas(_emit_suffix_keys(cfg), schema=_SUFFIX_SCHEMA)
     from qalsh_spark.operators.banding import LANE_SUFFIX

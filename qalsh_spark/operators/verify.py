@@ -94,6 +94,7 @@ def verify_pairs(
     cfg: DedupConfig,
     documents_with_id: DataFrame | None = None,
     prefilter_margin: float = 0.2,
+    persists: list | None = None,
 ) -> DataFrame:
     """pairs(a,b,lane_id) x signatures -> edges(a, b, lanes, jaccard, hamming)
     for pairs passing their lane's threshold.
@@ -102,21 +103,44 @@ def verify_pairs(
       minhash: exact Jaccard >= cfg.jaccard_threshold
       simhash: bit_count(xor) <= cfg.hamming_max (catches localized edits
                that shingle Jaccard under-scores)
-      suffix:  pre-verified upstream by bucket-key construction — always kept
+      suffix:  bucketed on the 64-bit k1 content hash upstream; accepted
+               only if the two docs share a full (k1, k2) tuple — the
+               independent check hash makes acceptance a 128-bit equality
+               test, so birthday collisions at 10^11-key scale cannot
+               merge unrelated clusters (the arrays_zip/arrays_overlap is
+               pure JVM).
 
     `documents_with_id(doc_id, text)` supplies the raw text for the exact-
     Jaccard re-derivation; when omitted, signatures must still carry a
     `shingles` column (legacy path for callers that precomputed it).
     """
     n_perm = cfg.num_perm
-    sig = signatures.select(
-        "doc_id", _position_tagged(F.col("minhash")).alias("mh_tags"), "simhash"
+    has_suffix_check = (
+        "suffix_keys" in signatures.columns
+        and "suffix_checks" in signatures.columns
     )
+    sig_cols = [
+        F.col("doc_id"),
+        _position_tagged(F.col("minhash")).alias("mh_tags"),
+        F.col("simhash"),
+    ]
+    if has_suffix_check:
+        # zip BEFORE any rename so both join sides carry identical struct
+        # field names (required for arrays_overlap equality)
+        sig_cols.append(
+            F.arrays_zip(F.col("suffix_keys"), F.col("suffix_checks")).alias("sfx")
+        )
+    sig = signatures.select(*sig_cols)
+    ren_a = {"mh_tags": "mh_a", "simhash": "fp_a"}
+    ren_b = {"mh_tags": "mh_b", "simhash": "fp_b"}
+    if has_suffix_check:
+        ren_a["sfx"] = "sfx_a"
+        ren_b["sfx"] = "sfx_b"
     j = (
         pairs.join(sig.withColumnRenamed("doc_id", "a"), on="a")
-        .withColumnsRenamed({"mh_tags": "mh_a", "simhash": "fp_a"})
+        .withColumnsRenamed(ren_a)
         .join(sig.withColumnRenamed("doc_id", "b"), on="b")
-        .withColumnsRenamed({"mh_tags": "mh_b", "simhash": "fp_b"})
+        .withColumnsRenamed(ren_b)
     )
     j = j.withColumn("hamming", F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))))
     j = j.withColumn(
@@ -131,15 +155,25 @@ def verify_pairs(
     is_simhash = F.col("lane_id") == F.lit(LANE_SIMHASH)
     is_suffix = F.col("lane_id") == F.lit(LANE_SUFFIX)
     passes_simhash = F.col("hamming") <= F.lit(cfg.hamming_max)
+    # 128-bit suffix check: some (k1, k2) tuple shared by both sides.  The
+    # fat sfx arrays are dropped right here — they never enter the persisted
+    # pair rows or any later shuffle.
+    suffix_ok = (
+        F.arrays_overlap(F.col("sfx_a"), F.col("sfx_b"))
+        if has_suffix_check
+        else F.lit(True)
+    )
     # Persist the surviving narrow pair rows: they feed the candidate-id
     # derivation AND the final scoring pass; without this the signature
     # joins + the interpreted higher-order agreement expression would
     # re-execute once per consumer.
     j = (
-        j.filter((is_minhash & est_ok) | is_simhash | is_suffix)
+        j.filter((is_minhash & est_ok) | is_simhash | (is_suffix & suffix_ok))
         .select("a", "b", "lane_id", "hamming", "mh_est")
         .persist()
     )
+    if persists is not None:
+        persists.append(j)
 
     # Exact Jaccard for pairs that need it: re-derive shingle sets for the
     # candidate docs only (verify-time raw fetch), then LEFT-join both sides
@@ -162,7 +196,16 @@ def verify_pairs(
             )
             .persist()
         )
+        if persists is not None:
+            persists.append(cand_sh)
     else:  # legacy: shingles precomputed on the signatures table
+        if "shingles" not in signatures.columns:
+            raise ValueError(
+                "verify_pairs: pass documents_with_id(doc_id, text) — "
+                "sign_documents no longer emits a 'shingles' column, so the "
+                "legacy precomputed-shingles path needs a signatures table "
+                "that carries one"
+            )
         cand_sh = signatures.select("doc_id", "shingles")
     j = (
         j.join(

@@ -47,6 +47,20 @@ class DedupResult:
     edges: DataFrame
     clusters: DataFrame
     bucket_stats: DataFrame | None = None
+    _persists: list = None  # caches created along the way (field avoids
+    # mutable-default pitfalls: run() always assigns a fresh list)
+
+    def release(self) -> None:
+        """Unpersist every cache the pipeline created.  Call once the
+        result DataFrames have been materialized (written/collected) —
+        long-lived sessions (bench loops, repeated run()s) otherwise
+        accumulate cached blocks for the session lifetime."""
+        for df in self._persists or []:
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+        self._persists = []
 
 
 class DedupPipeline:
@@ -74,7 +88,7 @@ class DedupPipeline:
         )
 
     def candidate_pairs(
-        self, signatures: DataFrame
+        self, signatures: DataFrame, persists: list | None = None
     ) -> tuple[DataFrame, DataFrame]:
         """All lanes (minhash + simhash bands, suffix keys — all columns of
         the signatures table, emitted by the single signing pass) explode
@@ -86,15 +100,20 @@ class DedupPipeline:
         }
         if self.enable_suffix:
             caps["suffix"] = SUFFIX_BUCKET_CAP
-        return candidate_pairs_from_buckets(self.buckets(signatures), caps)
+        return candidate_pairs_from_buckets(
+            self.buckets(signatures), caps, persists=persists
+        )
 
     def verify(
         self,
         pairs: DataFrame,
         signatures: DataFrame,
         documents_with_id: DataFrame | None = None,
+        persists: list | None = None,
     ) -> DataFrame:
-        return verify_pairs(pairs, signatures, self.cfg, documents_with_id)
+        return verify_pairs(
+            pairs, signatures, self.cfg, documents_with_id, persists=persists
+        )
 
     def cluster(self, edges: DataFrame, meta: DataFrame) -> DataFrame:
         comp = connected_components(edges.select("a", "b"))
@@ -109,6 +128,7 @@ class DedupPipeline:
         stages."""
         fp = input_fingerprint or _plan_fingerprint(documents)
         cat = self.catalog
+        persists: list = []
 
         def stage(name: str, make) -> DataFrame:
             if cat is not None and cat.has_valid(name, fp):
@@ -123,20 +143,27 @@ class DedupPipeline:
                 # upstream plan — the in-memory analog of the catalog's
                 # read-back-after-write.
                 df = df.persist()
+                persists.append(df)
             return df
 
         # extract + id + exact-group key, one narrow table reused everywhere
         prepared = stage("prepared", lambda: _prepare(documents))
 
         # Narrow columns only for the membership edges (text never shuffles
-        # here): one hash groupBy + one small join.
-        ids = prepared.select("text_hash", "doc_id")
-        groups = ids.groupBy("text_hash").agg(F.min("doc_id").alias("rep_id"))
+        # here): one hash groupBy + one small join.  The group key is
+        # (text_len, text_hash) — a 64-bit hash alone would silently merge
+        # two different documents as "byte-identical" on a birthday
+        # collision and drop one from every LSH lane; requiring equal
+        # length too pushes the odds far below corpus scale.
+        ids = prepared.select("text_len", "text_hash", "doc_id")
+        groups = ids.groupBy("text_len", "text_hash").agg(
+            F.min("doc_id").alias("rep_id")
+        )
         # members wire to their group representative with pre-verified edges
         # (byte-identical text: jaccard 1, hamming 0); a<b holds since the
         # representative is the group min
         exact_edges = (
-            ids.join(groups, on="text_hash")
+            ids.join(groups, on=["text_len", "text_hash"])
             .filter(F.col("doc_id") != F.col("rep_id"))
             .select(
                 F.col("rep_id").alias("a"),
@@ -152,7 +179,7 @@ class DedupPipeline:
         # billion-member boilerplate group, unlike a collect/self-join.
         from pyspark.sql import Window
 
-        w = Window.partitionBy("text_hash").orderBy("doc_id")
+        w = Window.partitionBy("text_len", "text_hash").orderBy("doc_id")
         reps = (
             prepared.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
@@ -163,14 +190,14 @@ class DedupPipeline:
         pairs_holder: dict = {}
 
         def make_pairs():
-            p, s = self.candidate_pairs(signatures)
+            p, s = self.candidate_pairs(signatures, persists=persists)
             pairs_holder["stats"] = s
             return p
 
         pairs = stage("pairs", make_pairs)
 
         def make_edges():
-            verified = self.verify(pairs, signatures, prepared)
+            verified = self.verify(pairs, signatures, prepared, persists=persists)
             return verified.unionByName(exact_edges)
 
         edges = stage("edges", make_edges)
@@ -181,15 +208,17 @@ class DedupPipeline:
             ),
         )
         return DedupResult(
-            signatures, pairs, edges, clusters, pairs_holder.get("stats")
+            signatures, pairs, edges, clusters, pairs_holder.get("stats"),
+            _persists=persists,
         )
 
 
 def _prepare(documents: DataFrame) -> DataFrame:
     """Stage 'prepared': extract text (when only html is present), mint the
-    deterministic doc_id, and key every row by the byte-exact text hash for
-    the exact-group pre-pass.  Output: (url, warc_ts, lang, text, doc_id,
-    text_hash) — the narrow table every later stage joins against."""
+    deterministic doc_id, and key every row by the byte-exact
+    (text_len, text_hash) pair for the exact-group pre-pass.  Output:
+    (url, warc_ts, lang, text, doc_id, text_len, text_hash) — the narrow
+    table every later stage joins against."""
     from qalsh_spark.functions.signatures import extract_text_udf
 
     cols = set(documents.columns)
@@ -211,6 +240,7 @@ def _prepare(documents: DataFrame) -> DataFrame:
     df = with_doc_id(df)
     return df.select(
         "url", "warc_ts", "lang", "text", "doc_id",
+        F.length("text").alias("text_len"),
         F.xxhash64("text").alias("text_hash"),
     )
 

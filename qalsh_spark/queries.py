@@ -40,8 +40,10 @@ def _t(
         # Spark scans as ONE task; for queries doing per-row heavy work
         # (regex/UDF over text, vector math) a round-robin repartition of the
         # small input unlocks the full core count.  Results are unaffected.
+        # (File-count trigger: cheap listing, no .rdd plan conversion; a
+        # many-file production table skips the extra shuffle.)
         target = spark.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() < target:
+        if len(df.inputFiles()) < target:
             df = df.repartition(target)
     return df
 
@@ -691,11 +693,16 @@ def _adapted_docs(spark, sf_dir):
 
 
 def q_minhash_dedup_clusters(spark, sf_dir):
-    """Flagship: full MinHash+SimHash+suffix dedup pipeline -> clusters."""
+    """Flagship: full MinHash+SimHash+suffix dedup pipeline -> clusters.
+    The small final table is localCheckpoint-materialized so every
+    intermediate stage cache can be released immediately (no lingering
+    cached blocks after the query — cache hygiene for long sessions)."""
     from qalsh_spark.plans.pipeline import DedupPipeline
 
     res = DedupPipeline(DedupConfig()).run(_adapted_docs(spark, sf_dir))
-    return res.clusters.select("doc_id", "cluster_id", "cluster_size")
+    out = res.clusters.select("doc_id", "cluster_id", "cluster_size").localCheckpoint()
+    res.release()
+    return out
 
 
 def q_minhash_signatures(spark, sf_dir):

@@ -72,7 +72,7 @@ class StageCatalog:
         writer.parquet(path)
         spark = df.sparkSession
         out = spark.read.parquet(path)
-        rows = out.count()
+        rows = _parquet_rows(path)  # footer metadata — no Spark job
         wall_ms = int((time.time() - t0) * 1000)
         manifest = {
             "stage": name,
@@ -107,6 +107,22 @@ class StageCatalog:
         """Per-partition row counts — the per-partition lineage signal
         (north rule).  spark_partition_id is JVM-side."""
         return df.groupBy(F.spark_partition_id().alias("partition_id")).count()
+
+
+def _parquet_rows(path: str) -> int:
+    """Row count from parquet footers (pyarrow metadata read) — replaces the
+    per-stage Spark `count()` that re-scanned every checkpoint."""
+    try:
+        import pyarrow.parquet as pq
+
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    total += pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+        return total
+    except Exception:
+        return -1
 
 
 def read_documents(spark: SparkSession, path: str) -> DataFrame:

@@ -125,14 +125,18 @@ def run_oracle(
                 pairs.add((hub, m, lane))
 
     # --- suffix lane (operators/suffix.py parity) ----------------------
-    # Bucket key = hash of the lcp_min bytes after each content-defined
-    # anchor; key equality IS the LCP >= lcp_min verification.
+    # Bucket key = k1 hash of the lcp_min bytes after each content-defined
+    # anchor; edge acceptance later requires the full (k1, k2) tuple to
+    # match (128-bit test, kernels.suffix_key_pairs_for_text).
+    suffix_tuples: dict[int, set[tuple[int, int]]] = {}
     if enable_suffix:
         sbuckets: dict[int, set[int]] = collections.defaultdict(set)
         for d in rep_ids:
-            for k in K.suffix_keys_for_text(
+            k1s, k2s = K.suffix_key_pairs_for_text(
                 by_id[d], cfg.suffix_window, cfg.suffix_gap, cfg.lcp_min
-            ):
+            )
+            suffix_tuples[d] = set(zip(k1s.tolist(), k2s.tolist()))
+            for k in k1s:
                 sbuckets[int(k)].add(d)
         from qalsh_spark.operators.suffix import SUFFIX_BUCKET_CAP
 
@@ -154,7 +158,8 @@ def run_oracle(
     for x, y, lane in pairs:
         sx, sy = sigs[x], sigs[y]
         if lane == "suffix":
-            edges.add((x, y))
+            if suffix_tuples.get(x, set()) & suffix_tuples.get(y, set()):
+                edges.add((x, y))
         elif lane == "simhash":
             ham = bin(
                 np.uint64(np.int64(sx["simhash"]).astype(np.uint64))
