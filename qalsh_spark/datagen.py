@@ -229,6 +229,85 @@ def write_corpus(path: str, n_docs: int, seed: int = 42) -> Corpus:
     return c
 
 
+@dataclass
+class EmbeddingSet:
+    vec_ids: np.ndarray          # int64
+    X: np.ndarray                # (n, d) float32, unit-L2
+    labels: np.ndarray           # int32 cluster label
+    gold_near_pairs: list        # [(a, b)] planted near-dup id pairs (a < b)
+
+
+def generate_embeddings(
+    n_vecs: int,
+    d: int = 64,
+    seed: int = 42,
+    n_clusters: int = 16,
+    near_frac: float = 0.15,
+    cluster_noise: float = 0.1,
+    near_eps: float = 0.025,
+) -> EmbeddingSet:
+    """Deterministic embedding table with PLANTED structure, the
+    embedding-lane analog of the documents corpus generator:
+
+      - cluster structure: each vector = unit(center_label + cluster_noise*g)
+        — in-cluster cos ~ 1/(1 + cluster_noise^2 * d) (~0.75 at the
+        defaults) vs ~0 across clusters, so ANN queries have real nearest
+        neighbors and recall is measurable;
+      - planted near-dups: `near_frac` of vectors are a copy of an earlier
+        vector plus an eps-perturbation, cos ~ 1/sqrt(1 + eps^2 * d)
+        (~0.99 at the defaults) — ground truth for embedding_near_dup (a
+        dedup operator that has never emitted a pair is not known to work).
+
+    Everything is seeded NumPy; the brute-force NumPy oracle in tests is
+    exact on this data."""
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((n_clusters, d))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    labels = np.zeros(n_vecs, dtype=np.int32)
+    X = np.zeros((n_vecs, d), dtype=np.float64)
+    gold: list[tuple[int, int]] = []
+    for i in range(n_vecs):
+        if i > 0 and rng.random() < near_frac:
+            src = int(rng.integers(0, i))
+            v = X[src] + near_eps * rng.standard_normal(d)
+            labels[i] = labels[src]
+            gold.append((src, i))
+        else:
+            lab = int(rng.integers(0, n_clusters))
+            labels[i] = lab
+            v = centers[lab] + cluster_noise * rng.standard_normal(d)
+        X[i] = v / np.linalg.norm(v)
+    return EmbeddingSet(
+        vec_ids=np.arange(n_vecs, dtype=np.int64),
+        X=X.astype(np.float32),
+        labels=labels,
+        gold_near_pairs=gold,
+    )
+
+
+def write_embeddings(path: str, n_vecs: int, d: int = 64, seed: int = 42) -> EmbeddingSet:
+    """Write an embeddings.parquet (vec_id, embedding, label) shaped like the
+    driver testdata table, plus gold near-dup pairs."""
+    e = generate_embeddings(n_vecs, d, seed)
+    os.makedirs(path, exist_ok=True)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(e.vec_ids, pa.int64()),
+            "embedding": pa.array([list(map(float, row)) for row in e.X], pa.list_(pa.float32())),
+            "label": pa.array(e.labels, pa.int32()),
+        }
+    )
+    pq.write_table(tbl, os.path.join(path, "embeddings.parquet"), row_group_size=2048)
+    gold = pa.table(
+        {
+            "a": pa.array([a for a, _ in e.gold_near_pairs], pa.int64()),
+            "b": pa.array([b for _, b in e.gold_near_pairs], pa.int64()),
+        }
+    )
+    pq.write_table(gold, os.path.join(path, "gold_near_pairs.parquet"))
+    return e
+
+
 def cached_corpus(n_docs: int, seed: int = 42, root: str = "/root/repo/.cache") -> str:
     """Idempotent corpus materialization for tests/bench."""
     path = os.path.join(root, f"corpus_n{n_docs}_s{seed}")

@@ -180,6 +180,37 @@ def simhash_band_keys(
     return _mix64(out).view(np.int64)
 
 
+# --- SRP (signed random projection) lane for embeddings ----------------------
+
+def srp_planes(m: int, d: int, seed: int = 6) -> np.ndarray:
+    """Seeded (m, d) Gaussian hyperplane matrix — the cosine-space analog of
+    the reference drawing m*d p-stable coefficients at a fixed seed
+    (/root/reference/methods/qalsh.h:238-244, srand(6) at main.cc:152)."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((m, d))
+
+
+def srp_band_keys_matrix(
+    X: np.ndarray, planes: np.ndarray, bands: int, rows: int
+) -> np.ndarray:
+    """(n, d) float matrix -> (n, bands) int64 SRP band keys.
+
+    sign bits = X @ planes.T > 0 (one BLAS matmul per batch — the whole
+    point of the Arrow/NumPy path vs per-row plan literals); each band's
+    `rows` bits pack into an int mixed with the band index, so keys from
+    different bands never collide and bucketing can join on the key alone."""
+    bits = (X @ planes.T) > 0  # (n, m)
+    n = bits.shape[0]
+    out = np.empty((n, bands), dtype=np.uint64)
+    shifts = (np.uint64(1) << np.arange(rows, dtype=np.uint64))
+    with np.errstate(over="ignore"):
+        for b in range(bands):
+            chunk = bits[:, b * rows : (b + 1) * rows].astype(np.uint64)
+            v = (chunk * shifts[None, :]).sum(axis=1, dtype=np.uint64)
+            out[:, b] = _mix64((v ^ (np.uint64(b + 1) * _M1)) * _M2)
+    return out.view(np.int64)
+
+
 # --- suffix (exact substring) lane ------------------------------------------
 
 def anchors(text: str, window: int = 16, gap: int = 32) -> np.ndarray:

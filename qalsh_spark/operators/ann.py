@@ -3,32 +3,47 @@ the direct parity lane with the reference's c-k-ANNS mission
 (/root/reference/methods/qalsh.h:25-32, README.md:5-9).
 
 Three tiers:
-  1. `brute_force_topk` — exact top-k by cosine/L2, the analog of the
-     reference's ground-truth linear scan `-alg 0` / `-alg 5`
+  1. `brute_force_topk` — exact top-k under cosine / l2 / the reference's
+     full l_p family (p in {0.5, 1, 2}, /root/reference/methods/util.h:280-464),
+     the analog of the ground-truth linear scan `-alg 0` / `-alg 5`
      (/root/reference/methods/ann.h:17-48, 52-103).  crossJoin + JVM-side
      zip_with/aggregate arithmetic + window top-k: fine for ground truth and
      small query sets, O(n*q) by design.
   2. `random_projection_buckets` + `lsh_topk` — the QALSH concept mapping:
      project every vector onto m seeded random hyperplanes (sign bits =
      SRP-LSH, the cosine analog of the p-stable projection at
-     methods/qalsh.h:118-120), bucket by the sign prefix, and only score
-     candidates that collide in >= 1 of the band groups (the collision-count
-     filter, methods/qalsh.h:442-447).  Escalation to coarser prefixes plays
-     the role of virtual rehashing (methods/qalsh.h:844-871).
-  3. `ivf_topk` — IVF-style: k-means-lite centroids (seeded sample), route
-     each vector to nearest centroid, probe the closest `nprobe` cells per
-     query — the scale path for 100 TB embedding tables (the analog of
-     QALSH+'s kd-tree block pruning, methods/qalsh_plus.h:230-250, 568-598).
+     methods/qalsh.h:118-120), bucket by per-band sign keys, and only score
+     candidates that collide in >= 1 band (the collision-count filter,
+     methods/qalsh.h:442-447).
+  3. `ivf_topk` — IVF-style: seeded-sample centroids, route each vector to
+     its nearest centroid, probe the closest `nprobe` cells per query — the
+     scale path for 100 TB embedding tables (the analog of QALSH+'s kd-tree
+     block ranking, methods/qalsh_plus.h:230-250, 568-598).
 
-All distance arithmetic is computed with built-in pyspark.sql.functions
-(whole-stage codegen) — no Python in the scoring loop.
+Scale discipline:
+  - SRP signing and IVF cell assignment are Arrow-batched pandas UDFs doing
+    one NumPy matmul per batch (same discipline as the document signing
+    stage).  The plane/centroid matrices live in the UDF closure — they are
+    NEVER baked into the plan as literals, and the vector dimension is read
+    from the data at execution time (no driver-side `.first()` probe, no
+    blocking job during plan construction).
+  - Cell assignment is per-row math against a broadcast-by-closure matrix:
+    ZERO shuffle of the big side (the previous window-over-crossJoin design
+    shuffled and sorted n x n_cells rows).
+  - Exact re-scoring of candidates stays JVM-side (zip_with/aggregate,
+    whole-stage codegen).
 """
 
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyspark.sql.functions as F
+import pyspark.sql.types as T
 from pyspark.sql import DataFrame, Window
+
+from qalsh_spark import kernels as K
+from qalsh_spark.kernels import srp_planes  # re-export (public API)
 
 
 def _dot(a, b):
@@ -57,6 +72,31 @@ def l2_sqr(a, b):
     )
 
 
+def l1_dist(a, b):
+    """Exact L1 (/root/reference/methods/util.h:280-330) — JVM zip_with."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.abs(x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def lp_dist(a, b, p: float):
+    """General l_p distance for 0 < p <= 2 — the reference's calc_lp_dist
+    dispatch (/root/reference/methods/util.h:388-464: l_0.5 at 334-384,
+    l_1 at 280-330, l_2 at 211-276, generic pow elsewhere)."""
+    if p == 2.0:
+        return F.sqrt(l2_sqr(a, b))
+    if p == 1.0:
+        return l1_dist(a, b)
+    acc = F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.pow(F.abs(x - y), F.lit(p))),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return F.pow(acc, F.lit(1.0 / p))
+
+
 def brute_force_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -65,17 +105,19 @@ def brute_force_topk(
     vec_col: str = "embedding",
     qid_col: str = "qid",
     qvec_col: str = "qvec",
-    metric: str = "cosine",
+    metric: str | float = "cosine",
 ) -> DataFrame:
     """Exact top-k per query. Result: (qid, neighbor_id, score, rank).
-    Ties broken by neighbor id — mirrors the reference's (dist, id) ordering
-    (/root/reference/methods/pri_queue.cc:51-80)."""
+    `metric`: "cosine" (descending score) or "l2" / "l1" / a float p for
+    l_p distance (ascending).  Ties broken by neighbor id — mirrors the
+    reference's (dist, id) ordering (/root/reference/methods/pri_queue.cc:51-80)."""
     joined = queries.crossJoin(vectors)
     if metric == "cosine":
         score = cosine_sim(F.col(qvec_col), F.col(vec_col))
         order = [F.desc("score"), F.asc("neighbor_id")]
     else:
-        score = l2_sqr(F.col(qvec_col), F.col(vec_col))
+        p = {"l2": 2.0, "l1": 1.0}.get(metric, metric)
+        score = lp_dist(F.col(qvec_col), F.col(vec_col), float(p))
         order = [F.asc("score"), F.asc("neighbor_id")]
     scored = joined.select(
         F.col(qid_col).alias("qid"),
@@ -89,50 +131,48 @@ def brute_force_topk(
     )
 
 
-def srp_signature(vec_col, planes: np.ndarray):
-    """Sign-bit signature under seeded random hyperplanes, as an array of
-    0/1 ints computed JVM-side: sign(<plane_i, v>).  planes is a (m, d)
-    NumPy array baked into the plan as literals (m*d is small)."""
-    bits = []
-    for i in range(planes.shape[0]):
-        lit = F.array(*[F.lit(float(x)) for x in planes[i]])
-        bits.append((_dot(lit, vec_col) > 0).cast("int"))
-    return F.array(*bits)
+def srp_band_keys_udf(m: int, bands: int, rows: int, seed: int = 6):
+    """Arrow-batched SRP signing: embedding -> array<long> of per-band sign
+    keys.  One `X @ planes.T` BLAS matmul per batch (kernels.
+    srp_band_keys_matrix); the plane matrix is generated lazily inside the
+    UDF from (seed, d) at first batch, so the vector dimension never has to
+    be probed driver-side and no literals enter the plan."""
+    assert bands * rows == m, "bands*rows must equal m"
+    state: dict[int, np.ndarray] = {}
 
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _udf(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series([], dtype=object)
+        X = np.stack(emb.to_numpy()).astype(np.float64)
+        d = X.shape[1]
+        planes = state.get(d)
+        if planes is None:
+            planes = state[d] = K.srp_planes(m, d, seed)
+        keys = K.srp_band_keys_matrix(X, planes, bands, rows)
+        return pd.Series(list(keys))
 
-def srp_planes(m: int, d: int, seed: int = 6) -> np.ndarray:
-    rng = np.random.default_rng(seed)
-    return rng.standard_normal((m, d))
+    return _udf
 
 
 def random_projection_buckets(
     vectors: DataFrame,
-    planes: np.ndarray,
-    bands: int,
-    rows: int,
+    m: int = 16,
+    bands: int = 4,
+    seed: int = 6,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """(id, band_id, band_key) bucket rows from SRP sign bands — the
-    embedding-space twin of operators/banding.py."""
+    """(vec_id, band_key) bucket rows from SRP sign bands — the
+    embedding-space twin of operators/banding.py.  The band index is mixed
+    into each key by the kernel, so the bucket join keys on band_key alone
+    (slim 16-byte rows)."""
+    rows = m // bands
     sig = vectors.select(
-        F.col(id_col).alias("vec_id"), srp_signature(F.col(vec_col), planes).alias("bits")
+        F.col(id_col).alias("vec_id"),
+        srp_band_keys_udf(m, bands, rows, seed)(F.col(vec_col)).alias("keys"),
     )
-    bandkeys = sig.select(
-        "vec_id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.cast("int").alias("band_id"),
-                    F.xxhash64(
-                        b, F.slice(F.col("bits"), b * rows + 1, rows).cast("string")
-                    ).alias("band_key"),
-                ),
-            )
-        ).alias("bk"),
-    )
-    return bandkeys.select("vec_id", "bk.band_id", "bk.band_key")
+    return sig.select("vec_id", F.explode("keys").alias("band_key"))
 
 
 def lsh_topk(
@@ -150,15 +190,12 @@ def lsh_topk(
     """Approximate top-k: score only vectors sharing >= 1 SRP band with the
     query (collision filter), then exact cosine on the candidates.
     Result schema matches brute_force_topk."""
-    d = len(vectors.select(vec_col).first()[0])
-    rows = m // bands
-    planes = srp_planes(m, d, seed)
-    vb = random_projection_buckets(vectors, planes, bands, rows, id_col, vec_col)
+    vb = random_projection_buckets(vectors, m, bands, seed, id_col, vec_col)
     qb = random_projection_buckets(
-        queries, planes, bands, rows, qid_col, qvec_col
+        queries, m, bands, seed, qid_col, qvec_col
     ).withColumnRenamed("vec_id", "qid")
     cand = (
-        vb.join(qb, on=["band_id", "band_key"])
+        vb.join(qb, on="band_key")
         .select("qid", "vec_id")
         .distinct()
     )
@@ -175,6 +212,30 @@ def lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def _cell_assign_udf(cents: np.ndarray, top: int):
+    """embedding -> array<int> of the `top` nearest centroid ids, computed
+    per Arrow batch with one NumPy matmul against the closure-broadcast
+    centroid matrix: ZERO shuffle of the big side, no crossJoin row
+    explosion, no window sort.  Ties resolve to the lowest cell id
+    (stable argsort), mirroring the (dist, id) ordering everywhere else."""
+    c2 = (cents**2).sum(axis=1)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def _udf(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series([], dtype=object)
+        X = np.stack(emb.to_numpy()).astype(np.float64)
+        # |x-c|^2 = |x|^2 - 2 x.c + |c|^2; |x|^2 constant per row -> drop
+        d2 = -2.0 * (X @ cents.T) + c2[None, :]
+        if top == 1:
+            idx = d2.argmin(axis=1)[:, None]
+        else:
+            idx = np.argsort(d2, axis=1, kind="stable")[:, :top]
+        return pd.Series(list(idx.astype(np.int32)))
+
+    return _udf
+
+
 def ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -186,33 +247,32 @@ def ivf_topk(
     vec_col: str = "embedding",
     qid_col: str = "qid",
     qvec_col: str = "qvec",
+    sample_n: int = 1024,
 ) -> DataFrame:
-    """IVF: seeded-sample centroids (broadcast), assign vectors to nearest
-    cell, per query probe the nprobe nearest cells only.  The centroid
-    assignment is a broadcast crossJoin + min_by (no shuffle of the big
-    side); the candidate join is an equi-join on cell id."""
-    spark = vectors.sparkSession
-    sample = vectors.select(vec_col).limit(1000).collect()
+    """IVF: seeded-sample centroids (a deterministic ordered sample, the
+    k-means-lite stand-in for QALSH+'s per-block representatives), assign
+    each vector to its nearest cell via the closure-broadcast pandas UDF
+    (no shuffle), probe the nprobe nearest cells per query, exact-rescore
+    the candidate cells only — the reference's block-ranking search
+    (/root/reference/methods/qalsh_plus.h:568-598)."""
+    sample = (
+        vectors.orderBy(F.col(id_col))
+        .limit(sample_n)
+        .select(vec_col)
+        .collect()
+    )
     rng = np.random.default_rng(seed)
     idx = rng.choice(len(sample), size=min(n_cells, len(sample)), replace=False)
-    cents = [(int(i), [float(x) for x in sample[j][0]]) for i, j in enumerate(idx)]
-    cent_df = F.broadcast(
-        spark.createDataFrame(cents, f"cell int, cvec array<double>")
+    cents = np.array([[float(x) for x in sample[j][0]] for j in idx])
+
+    vcell = vectors.select(
+        F.col(id_col),
+        F.element_at(_cell_assign_udf(cents, 1)(F.col(vec_col)), 1).alias("cell"),
     )
-
-    def assign(df, idc, vc, top, out):
-        scored = df.crossJoin(cent_df).select(
-            F.col(idc), l2_sqr(F.col(vc).cast("array<double>"), F.col("cvec")).alias("d2"), "cell"
-        )
-        w = Window.partitionBy(idc).orderBy(F.asc("d2"), F.asc("cell"))
-        return (
-            scored.withColumn("r", F.row_number().over(w))
-            .filter(F.col("r") <= top)
-            .select(F.col(idc), F.col("cell").alias(out))
-        )
-
-    vcell = assign(vectors, id_col, vec_col, 1, "cell")
-    qcell = assign(queries, qid_col, qvec_col, nprobe, "cell")
+    qcell = queries.select(
+        F.col(qid_col),
+        F.explode(_cell_assign_udf(cents, nprobe)(F.col(qvec_col))).alias("cell"),
+    )
     cand = (
         vcell.join(qcell, on="cell")
         .select(F.col(qid_col).alias("qid"), F.col(id_col).alias("vec_id"))

@@ -108,19 +108,15 @@ def embedding_near_dup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: SRP-LSH bucket join for
     candidates, exact cosine verify (same collide-then-verify shape as the
-    document pipeline). Returns (a, b, cos) with a < b, cos >= threshold."""
-    from qalsh_spark.operators.ann import (
-        cosine_sim,
-        random_projection_buckets,
-        srp_planes,
-    )
+    document pipeline). Returns (a, b, cos) with a < b, cos >= threshold.
+    Signing is the Arrow-batched SRP UDF (planes in the UDF closure — no
+    plan literals, no driver-side dimension probe)."""
+    from qalsh_spark.operators.ann import cosine_sim, random_projection_buckets
 
-    d = len(embeddings.select(vec_col).first()[0])
-    planes = srp_planes(m, d, seed)
-    b = random_projection_buckets(embeddings, planes, bands, m // bands, id_col, vec_col)
+    b = random_projection_buckets(embeddings, m, bands, seed, id_col, vec_col)
     cand = (
         b.alias("x")
-        .join(b.alias("y"), on=["band_id", "band_key"])
+        .join(b.alias("y"), on="band_key")
         .filter(F.col("x.vec_id") < F.col("y.vec_id"))
         .select(F.col("x.vec_id").alias("a"), F.col("y.vec_id").alias("b"))
         .distinct()

@@ -239,6 +239,94 @@ SELECT qid, neighbor_id, round(score, 3) AS cos, rank FROM ranked WHERE rank <= 
 """
 
 
+def q_knn_bruteforce_l1(spark, sf_dir):
+    """Exact top-k under L1 — the reference's l_p family beyond l_2
+    (/root/reference/methods/util.h:280-330, CLI p sweep in the run scripts)."""
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    out = brute_force_topk(emb, F.broadcast(queries), k=5, metric="l1")
+    return out.select("qid", "neighbor_id", F.round("score", 3).alias("l1"), "rank")
+
+
+SQL_KNN_BRUTEFORCE_L1 = """
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 10
+), scored AS (
+  SELECT q.qid, e.vec_id AS neighbor_id,
+         list_sum([abs(t[1] - t[2]) for t in list_zip(q.qvec, e.embedding)]) AS score
+  FROM q CROSS JOIN embeddings e
+), ranked AS (
+  SELECT qid, neighbor_id, score,
+         row_number() OVER (PARTITION BY qid ORDER BY score, neighbor_id) AS rank
+  FROM scored
+)
+SELECT qid, neighbor_id, round(score, 3) AS l1, rank FROM ranked WHERE rank <= 5
+"""
+
+
+def q_per_dim_variance(spark, sf_dir):
+    """Per-dimension variance/stddev stats — the reference's kd-split
+    dimension choice driver (/root/reference/methods/kd_tree.h:335-373,
+    SURVEY §2.4 A3)."""
+    emb = _emb(spark, sf_dir)
+    return (
+        emb.select("label", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(
+            F.round(F.var_samp("v"), 4).alias("var_v"),
+            F.round(F.stddev("v"), 4).alias("std_v"),
+            F.round(F.min("v"), 4).alias("min_v"),
+            F.round(F.max("v"), 4).alias("max_v"),
+        )
+    )
+
+
+SQL_PER_DIM_VARIANCE = """
+SELECT label, CAST(t.i - 1 AS INT) AS dim,
+       round(var_samp(embedding[t.i]), 4) AS var_v,
+       round(stddev_samp(embedding[t.i]), 4) AS std_v,
+       round(min(embedding[t.i]), 4) AS min_v,
+       round(max(embedding[t.i]), 4) AS max_v
+FROM embeddings
+CROSS JOIN (SELECT unnest(generate_series(1, (SELECT max(len(embedding)) FROM embeddings))) AS i) t
+WHERE t.i <= len(embedding)
+GROUP BY label, dim
+"""
+
+
+def q_embedding_neardup_exact(spark, sf_dir):
+    """Exact (brute-force) embedding near-dup pairs — the SQL-expressible
+    ground-truth twin of the LSH-bucketed embedding_near_dup lane."""
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    a = emb.select(F.col("vec_id").alias("a"), F.col("e").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("b"), F.col("e").alias("eb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("cos", cosine_sim(F.col("ea"), F.col("eb")))
+        .filter(F.col("cos") >= 0.4)
+        .select("a", "b", F.round("cos", 4).alias("cos"))
+    )
+
+
+SQL_EMBEDDING_NEARDUP_EXACT = """
+SELECT x.vec_id AS a, y.vec_id AS b,
+       round(list_dot_product(x.embedding, y.embedding)
+         / (sqrt(list_dot_product(x.embedding, x.embedding))
+            * sqrt(list_dot_product(y.embedding, y.embedding))), 4) AS cos
+FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+WHERE list_dot_product(x.embedding, y.embedding)
+      / (sqrt(list_dot_product(x.embedding, x.embedding))
+         * sqrt(list_dot_product(y.embedding, y.embedding))) >= 0.4
+"""
+
+
 def q_centroid_by_label(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     return (
@@ -636,17 +724,49 @@ FROM media
 
 
 def q_media_byte_stats(spark, sf_dir):
-    """Rows-only: Arrow-batched byte histogram stats over a binary column."""
+    """Arrow-batched byte histogram stats over a binary column; the DuckDB
+    oracle rebuilds the histogram from hex pairs (entropy/ratio are plain
+    aggregates, so the query is fully SQL-expressible)."""
     from qalsh_spark.functions.multimodal import byte_stats
 
     media = _synth_media(spark, sf_dir)
     out = byte_stats(media, id_col="doc_id", content_col="content")
     return out.select(
         "doc_id",
-        "n_bytes",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
         F.round("byte_entropy", 3).alias("byte_entropy"),
         F.round("ascii_ratio", 3).alias("ascii_ratio"),
     )
+
+
+SQL_MEDIA_BYTE_STATS = """
+WITH media AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 0 THEN unhex('FFD8FF') || encode(text)
+              WHEN doc_id % 4 = 1 THEN unhex('89504E47') || encode(text)
+              WHEN doc_id % 4 = 2 THEN unhex('1A45DFA3') || encode(text)
+              ELSE encode(text) END AS content
+  FROM documents
+), b AS (
+  SELECT doc_id, octet_length(content) AS n,
+         substring(hex(content), CAST(2*t.i+1 AS INT), 2) AS hb
+  FROM media, unnest(range(octet_length(content))) AS t(i)
+), hist AS (
+  SELECT doc_id, any_value(n) AS n, hb, count(*) AS c FROM b GROUP BY doc_id, hb
+), agg AS (
+  SELECT doc_id,
+         any_value(n) AS n_bytes,
+         -sum((c * 1.0 / n) * log2(c * 1.0 / n)) AS ent,
+         sum(CASE WHEN hb >= '20' AND hb <= '7E' THEN c ELSE 0 END) * 1.0
+           / any_value(n) AS ar
+  FROM hist GROUP BY doc_id
+)
+SELECT m.doc_id,
+       CAST(coalesce(a.n_bytes, 0) AS BIGINT) AS n_bytes,
+       round(coalesce(a.ent, 0.0), 3) AS byte_entropy,
+       round(coalesce(a.ar, 0.0), 3) AS ascii_ratio
+FROM media m LEFT JOIN agg a ON m.doc_id = a.doc_id
+"""
 
 
 def q_image_decode_meta(spark, sf_dir):
@@ -657,28 +777,63 @@ def q_image_decode_meta(spark, sf_dir):
     return decode_image_meta(media, id_col="doc_id", content_col="content")
 
 
+ANN_TOPKS = [1, 2, 5, 10, 20, 50, 100]  # the reference's TOPKs sweep
+# (/root/reference/methods/def.h:43)
+
+
+def ann_recall_sweep(
+    emb, queries, approx, topks=ANN_TOPKS, max_k: int = 100
+) -> DataFrame:
+    """The reference's full recall-evaluation protocol
+    (/root/reference/methods/util.cc:94-105, ann.h:276-306): recall@k of an
+    approximate top-max_k result against the exact brute-force top-max_k,
+    for every k in TOPKs — computed from ONE truth pass and ONE approx pass
+    (ranks compared per k, no per-k re-query)."""
+    truth = brute_force_topk(emb, F.broadcast(queries), k=max_k).select(
+        "qid", "neighbor_id", F.col("rank").alias("rank_t")
+    )
+    hits = truth.join(
+        approx.select("qid", "neighbor_id", F.col("rank").alias("rank_a")),
+        on=["qid", "neighbor_id"],
+    )
+    ks = F.explode(F.array(*[F.lit(k) for k in topks])).alias("k")
+    grid = truth.select("qid").distinct().select("qid", ks)
+    per_qk = (
+        grid.join(
+            hits.select("qid", F.explode(F.array(*[F.lit(k) for k in topks])).alias("k"),
+                        "rank_t", "rank_a")
+            .filter((F.col("rank_t") <= F.col("k")) & (F.col("rank_a") <= F.col("k")))
+            .groupBy("qid", "k")
+            .agg(F.count("*").alias("n_hits")),
+            on=["qid", "k"],
+            how="left",
+        )
+        .select(
+            "qid", "k",
+            (F.coalesce(F.col("n_hits"), F.lit(0)) / F.col("k")).alias("recall"),
+        )
+    )
+    return (
+        per_qk.groupBy("k")
+        .agg(
+            F.count("*").alias("n_queries"),
+            F.round(F.avg("recall"), 4).alias("avg_recall"),
+        )
+        .orderBy("k")
+    )
+
+
 def q_ann_recall_eval(spark, sf_dir):
-    """Rows-only: the reference's recall-evaluation protocol
-    (/root/reference/methods/util.cc:94-105) — recall@k of the SRP-LSH lane
-    against the exact brute-force top-k on the same queries."""
+    """Rows-only: recall@k of the SRP-LSH lane vs exact brute force over the
+    full reference TOPKs sweep k in {1,2,5,10,20,50,100}."""
     emb = _emb(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
-    truth = brute_force_topk(emb, F.broadcast(queries), k=5).select(
-        "qid", "neighbor_id"
-    )
-    approx = lsh_topk(emb, queries, k=5).select("qid", "neighbor_id")
-    hits = truth.join(approx, on=["qid", "neighbor_id"]).groupBy("qid").count()
-    per_q = truth.select("qid").distinct().join(hits, on="qid", how="left").select(
-        "qid", (F.coalesce(F.col("count"), F.lit(0)) / 5.0).alias("recall")
-    )
-    return per_q.agg(
-        F.count("*").alias("n_queries"),
-        F.round(F.avg("recall"), 4).alias("avg_recall"),
-    )
+    approx = lsh_topk(emb, queries, k=100)
+    return ann_recall_sweep(emb, queries, approx)
 
 
 # ---------------------------------------------------------------------------
@@ -763,7 +918,14 @@ def q_ivf_ann_topk(spark, sf_dir):
 
 
 def q_embedding_near_dup(spark, sf_dir):
-    return embedding_near_dup_pairs(_emb(spark, sf_dir), threshold=0.95)
+    """Rows-only (LSH discovery is not SQL-expressible): SRP-bucketed
+    near-dup pairs.  Threshold 0.4 matches embedding_neardup_exact so the
+    two queries bound each other: this result is a recall-bounded subset of
+    the exact one (pytest asserts the recall floor on planted data).
+    (m=24, bands=8, rows=3: band collision ~0.90 at cos 0.4 — the driver
+    testdata has no true near-dups, so the threshold sits where pairs
+    exist; real dedup runs use the default 0.98.)"""
+    return embedding_near_dup_pairs(_emb(spark, sf_dir), threshold=0.4, m=24, bands=8)
 
 
 # ---------------------------------------------------------------------------
@@ -781,8 +943,11 @@ QUERIES: dict[str, SparkQuery] = {
     "token_jaccard_pairs": q_token_jaccard_pairs,
     # embeddings lane
     "knn_bruteforce_cosine": q_knn_bruteforce_cosine,
+    "knn_bruteforce_l1": q_knn_bruteforce_l1,
     "centroid_by_label": q_centroid_by_label,
+    "per_dim_variance": q_per_dim_variance,
     "vector_norm_topk": q_vector_norm_topk,
+    "embedding_neardup_exact": q_embedding_neardup_exact,
     # relational coverage
     "pricing_summary": q_pricing_summary,
     "topk_orders_per_customer": q_topk_orders_per_customer,
@@ -821,8 +986,11 @@ ORACLE_SQL: dict[str, str] = {
     "top_docs_by_chars": SQL_TOP_DOCS_BY_CHARS,
     "token_jaccard_pairs": SQL_TOKEN_JACCARD_PAIRS,
     "knn_bruteforce_cosine": SQL_KNN_BRUTEFORCE_COSINE,
+    "knn_bruteforce_l1": SQL_KNN_BRUTEFORCE_L1,
     "centroid_by_label": SQL_CENTROID_BY_LABEL,
+    "per_dim_variance": SQL_PER_DIM_VARIANCE,
     "vector_norm_topk": SQL_VECTOR_NORM_TOPK,
+    "embedding_neardup_exact": SQL_EMBEDDING_NEARDUP_EXACT,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "topk_orders_per_customer": SQL_TOPK_ORDERS_PER_CUSTOMER,
     "collision_count_filter": SQL_COLLISION_COUNT_FILTER,
@@ -835,4 +1003,5 @@ ORACLE_SQL: dict[str, str] = {
     "quality_score_topk": SQL_QUALITY_SCORE_TOPK,
     "media_type_distribution": SQL_MEDIA_TYPE_DISTRIBUTION,
     "frame_sample_stats": SQL_FRAME_SAMPLE_STATS,
+    "media_byte_stats": SQL_MEDIA_BYTE_STATS,
 }
