@@ -44,6 +44,11 @@ def main() -> None:
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     ap.add_argument("--no-suffix", action="store_true", help="disable the substring lane")
     ap.add_argument("--no-simhash", action="store_true", help="disable the simhash lane")
+    ap.add_argument(
+        "--escalate", action="store_true",
+        help="second coarser-band pass over unmatched docs (virtual-rehashing"
+        " analog) — recovers S-curve discovery misses near the threshold",
+    )
     ap.add_argument("--jaccard", type=float, default=0.5)
     ap.add_argument(
         "--aqe",
@@ -95,6 +100,7 @@ def main() -> None:
         checkpoint_root=args.checkpoint,
         enable_suffix=not args.no_suffix,
         enable_simhash=not args.no_simhash,
+        escalate=args.escalate,
     )
     if args.output:
         res.clusters.write.mode("overwrite").parquet(args.output)

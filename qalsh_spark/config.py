@@ -90,6 +90,30 @@ class DedupConfig:
         return best[1], best[2]
 
     @staticmethod
+    def tune_bands_prefix(threshold: float, num_perm: int = 128) -> tuple[int, int]:
+        """Pick (b, r) with b*r <= num_perm (a PREFIX of the permutations)
+        whose S-curve midpoint is closest to `threshold`.
+
+        Unlike `tune_bands`, r need not divide num_perm, so the midpoint
+        ladder is much finer (r=3 -> b=42 -> midpoint 0.29, etc.).  Used by
+        the escalation pass — the dedup analog of the reference's virtual
+        rehashing, which grows the search radius geometrically instead of
+        rebuilding hash tables (/root/reference/methods/qalsh.h:844-871):
+        re-band the SAME signatures at a coarser operating point instead of
+        re-signing documents."""
+        best: tuple[float, int, int] | None = None
+        for r in range(1, num_perm + 1):
+            b = num_perm // r
+            if b < 1:
+                break
+            mid = (1.0 / b) ** (1.0 / r)
+            d = abs(mid - threshold)
+            if best is None or d < best[0]:
+                best = (d, b, r)
+        assert best is not None
+        return best[1], best[2]
+
+    @staticmethod
     def band_collision_prob(s: float, b: int, r: int) -> float:
         """P[>=1 band collides] for a pair at Jaccard s (the dedup analog of
         the reference's collision-probability functions,

@@ -135,6 +135,21 @@ def band_hashes(minhash: np.ndarray, bands: int, rows: int) -> np.ndarray:
 
 
 
+def band_hashes_matrix(minhash: np.ndarray, bands: int, rows: int) -> np.ndarray:
+    """(n, num_perm) int32 minhash matrix -> (n, bands) int64 band keys.
+    Row-for-row identical to `band_hashes` (same mixing ops, broadcast over
+    the batch) — used by the escalation pass to re-band EXISTING signatures
+    with a coarser (b, r) without re-signing documents."""
+    n = minhash.shape[0]
+    mh = minhash.view(np.uint32).astype(np.uint64).reshape(n, bands, rows)
+    with np.errstate(over="ignore"):
+        h = np.full((n, bands), _M1, dtype=np.uint64)
+        for j in range(rows):
+            h = (h ^ mh[:, :, j]) * _M2
+        h ^= np.arange(bands, dtype=np.uint64)[None, :] * _M1
+    return _mix64(h).view(np.int64)
+
+
 def _simhash_block_bounds(bits: int, blocks: int) -> list[tuple[int, int]]:
     """Fixed near-even split of `bits` into `blocks` contiguous ranges."""
     base, rem = divmod(bits, blocks)

@@ -18,8 +18,13 @@ posexplode/transform are JVM-side (whole-stage codegen) — no Python here.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 import pyspark.sql.functions as F
+import pyspark.sql.types as T
 from pyspark.sql import DataFrame
+
+from qalsh_spark import kernels as K
 
 # lane tags (byte-sized) shared by pair generation / verification
 LANE_MINHASH = 0
@@ -45,6 +50,24 @@ def _lane(col: str, lane_id: int):
             k.alias("band_key"),
         ),
     )
+
+
+def reband_minhash_udf(bands: int, rows: int):
+    """minhash array<int> -> array<long> band keys at a NEW (bands, rows)
+    operating point, re-using the stored signature (a PREFIX of bands*rows
+    permutations) — the escalation / virtual-rehashing analog
+    (/root/reference/methods/qalsh.h:844-871).  Arrow-batched; one
+    kernels.band_hashes_matrix call per batch."""
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _udf(mh: pd.Series) -> pd.Series:
+        if len(mh) == 0:
+            return pd.Series([], dtype=object)
+        M = np.stack(mh.to_numpy()).astype(np.int32)[:, : bands * rows]
+        keys = K.band_hashes_matrix(M, bands, rows)
+        return pd.Series(list(keys))
+
+    return _udf
 
 
 def explode_minhash_bands(signatures: DataFrame) -> DataFrame:

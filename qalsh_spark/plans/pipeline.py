@@ -70,11 +70,23 @@ class DedupPipeline:
         catalog: StageCatalog | None = None,
         enable_suffix: bool = True,
         enable_simhash: bool = True,
+        escalate: bool = False,
+        escalate_drop: float = 0.15,
     ):
         self.cfg = cfg or DedupConfig()
         self.catalog = catalog
         self.enable_suffix = enable_suffix
         self.enable_simhash = enable_simhash
+        # multi-band escalation (virtual-rehashing analog,
+        # /root/reference/methods/qalsh.h:844-871): after the first verify,
+        # re-band the still-unmatched docs' EXISTING minhash signatures at a
+        # coarser (b, r) targeting threshold - escalate_drop, and verify the
+        # recovered candidates.  Buys back the S-curve discovery misses just
+        # above the threshold (P(miss|s=0.52) ~ 9% at the default 32x4) at
+        # the cost of one extra bucket/pair/verify pass over the unmatched
+        # subset only.
+        self.escalate = escalate
+        self.escalate_drop = escalate_drop
 
     # -- stages ----------------------------------------------------------
     def sign(self, documents: DataFrame) -> DataFrame:
@@ -114,6 +126,34 @@ class DedupPipeline:
         return verify_pairs(
             pairs, signatures, self.cfg, documents_with_id, persists=persists
         )
+
+    def _escalation_pairs(
+        self, signatures: DataFrame, edges: DataFrame, persists: list
+    ) -> DataFrame:
+        """Coarser-band candidate pass over docs with no accepted edge yet
+        (left_anti on the matched-id set — the resume-style skip join of
+        SURVEY §2.6).  Re-uses stored minhash columns; no re-signing."""
+        from qalsh_spark.operators.banding import LANE_MINHASH, reband_minhash_udf
+
+        target = max(0.05, self.cfg.jaccard_threshold - self.escalate_drop)
+        b2, r2 = DedupConfig.tune_bands_prefix(target, self.cfg.num_perm)
+        matched = (
+            edges.select(F.col("a").alias("doc_id"))
+            .unionByName(edges.select(F.col("b").alias("doc_id")))
+            .distinct()
+        )
+        unmatched = signatures.join(matched, on="doc_id", how="left_anti")
+        buckets = unmatched.select(
+            "doc_id",
+            F.lit(LANE_MINHASH).cast("tinyint").alias("lane_id"),
+            F.explode(reband_minhash_udf(b2, r2)(F.col("minhash"))).alias(
+                "band_key"
+            ),
+        )
+        pairs2, _stats = candidate_pairs_from_buckets(
+            buckets, self.cfg.bucket_cap, persists=persists
+        )
+        return pairs2
 
     def cluster(self, edges: DataFrame, meta: DataFrame) -> DataFrame:
         comp = connected_components(edges.select("a", "b"))
@@ -198,7 +238,24 @@ class DedupPipeline:
 
         def make_edges():
             verified = self.verify(pairs, signatures, prepared, persists=persists)
-            return verified.unionByName(exact_edges)
+            edges_df = verified.unionByName(exact_edges)
+            if self.escalate:
+                # localCheckpoint (not persist): the escalation pass embeds
+                # this DataFrame's tree in a left_anti join, a verify and a
+                # final union — with a live logical plan, those nested
+                # references compound into an exponentially large Catalyst
+                # tree (plan stringification alone OOMs).  Truncating
+                # lineage here keeps the second-pass plan the same size as
+                # the first.
+                edges_df = edges_df.localCheckpoint()
+                pairs2 = self._escalation_pairs(signatures, edges_df, persists)
+                # endpoints of escalated pairs are all unmatched docs, so
+                # the recovered edges are disjoint from the first pass
+                verified2 = self.verify(
+                    pairs2, signatures, prepared, persists=persists
+                )
+                edges_df = edges_df.unionByName(verified2)
+            return edges_df
 
         edges = stage("edges", make_edges)
         clusters = stage(
