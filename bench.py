@@ -24,7 +24,10 @@ HEADLINE = [
     "simhash_hamming_pairs",
     "substring_pairs",
     "knn_bruteforce_cosine",
+    "knn_bruteforce_l1",
     "lsh_ann_topk",
+    "ivf_ann_topk",
+    "embedding_neardup_exact",
     "pricing_summary",
     "topk_orders_per_customer",
     "region_rollup",

@@ -30,6 +30,12 @@ def _estimated_rows(path: str) -> int:
         import pyarrow.parquet as pq
 
         p = path if path.endswith(".parquet") else os.path.join(path, "documents.parquet")
+        if os.path.isdir(p):
+            return sum(
+                pq.ParquetFile(os.path.join(p, f)).metadata.num_rows
+                for f in os.listdir(p)
+                if f.endswith(".parquet")
+            )
         return pq.ParquetFile(p).metadata.num_rows
     except Exception:
         return 0

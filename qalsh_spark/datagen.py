@@ -76,7 +76,9 @@ def _render_html(text: str, boiler_idx: int, title: str) -> bytes:
     return page.encode("utf-8")
 
 
-def generate_corpus(n_docs: int, seed: int = 42) -> Corpus:
+def generate_corpus(n_docs: int, seed: int = 42, index_offset: int = 0) -> Corpus:
+    """`index_offset` shifts urls/timestamps/langs/gold ids so independent
+    chunks (write_corpus_parallel) occupy disjoint global index ranges."""
     rng = np.random.default_rng(seed)
     vocab = _vocab(rng)
     probs = _zipf_probs(len(vocab))
@@ -175,10 +177,11 @@ def generate_corpus(n_docs: int, seed: int = 42) -> Corpus:
     klass = klass[:n_docs]
     boiler = boiler[:n_docs]
 
-    idx = np.arange(n_docs)
+    idx = np.arange(n_docs) + index_offset
+    gold = gold + index_offset
     urls = [
-        f"https://site{int(i % 1000):04d}.example/{klass[i]}/{int(i):06d}"
-        for i in idx
+        f"https://site{int(i % 1000):04d}.example/{klass[j]}/{int(i):06d}"
+        for j, i in enumerate(idx)
     ]
     warc_ts = _BASE_TS + ((idx * 1337) % _YEAR_S).astype("timedelta64[s]")
     langs = []
@@ -189,7 +192,8 @@ def generate_corpus(n_docs: int, seed: int = 42) -> Corpus:
                 langs.append(code)
                 break
     html = [
-        _render_html(texts[i], boiler[i], f"doc {int(i):06d}") for i in range(n_docs)
+        _render_html(texts[j], boiler[j], f"doc {int(i):06d}")
+        for j, i in enumerate(idx)
     ]
     return Corpus(urls, warc_ts, html, texts, langs, gold, klass)
 
@@ -227,6 +231,73 @@ def write_corpus(path: str, n_docs: int, seed: int = 42) -> Corpus:
     )
     pq.write_table(gold, os.path.join(path, "gold.parquet"))
     return c
+
+
+def _write_chunk(args) -> int:
+    """Worker: generate one deterministic chunk and write its part files."""
+    path, ci, n, seed, offset = args
+    c = generate_corpus(n, seed=seed + 1_000_003 * (ci + 1), index_offset=offset)
+    pq.write_table(
+        corpus_to_table(c),
+        os.path.join(path, "documents.parquet", f"part-{ci:05d}.parquet"),
+        row_group_size=2048,
+    )
+    gold = pa.table(
+        {
+            "url": pa.array(c.urls, pa.string()),
+            "gold_cluster": pa.array(c.gold_cluster, pa.int64()),
+            "gold_class": pa.array(c.gold_class, pa.string()),
+        }
+    )
+    pq.write_table(gold, os.path.join(path, "gold.parquet", f"part-{ci:05d}.parquet"))
+    return n
+
+
+def write_corpus_parallel(
+    path: str,
+    n_docs: int,
+    seed: int = 42,
+    chunk_size: int = 250_000,
+    workers: int | None = None,
+) -> None:
+    """Multi-process corpus generation for bench-scale inputs (a 4M-doc
+    corpus takes ~80 min sequentially; ~6 min on 16 workers).  Chunk i is
+    generated with its own derived seed and global index offset, so the
+    output is DETERMINISTIC and independent of worker count; duplicate
+    clusters (incl. substring donors) are intra-chunk by construction.
+    `documents.parquet` / `gold.parquet` become directories of part files —
+    the layout a real multi-file corpus has anyway (and what gives Spark
+    file-level scan parallelism without a repartition)."""
+    from concurrent.futures import ProcessPoolExecutor
+
+    os.makedirs(os.path.join(path, "documents.parquet"), exist_ok=True)
+    os.makedirs(os.path.join(path, "gold.parquet"), exist_ok=True)
+    jobs = []
+    off = 0
+    ci = 0
+    while off < n_docs:
+        n = min(chunk_size, n_docs - off)
+        jobs.append((path, ci, n, seed, off))
+        off += n
+        ci += 1
+    workers = workers or min(len(jobs), os.cpu_count() or 8)
+    with ProcessPoolExecutor(max_workers=workers) as ex:
+        total = sum(ex.map(_write_chunk, jobs))
+    assert total == n_docs
+
+
+def cached_corpus_parallel(
+    n_docs: int, seed: int = 42, root: str = "/root/repo/.cache",
+    chunk_size: int = 250_000,
+) -> str:
+    """Idempotent chunked corpus materialization (distinct namespace from the
+    sequential cached_corpus — chunked content differs by construction)."""
+    path = os.path.join(root, f"corpusp_n{n_docs}_s{seed}")
+    marker = os.path.join(path, "_COMPLETE")
+    if not os.path.exists(marker):
+        write_corpus_parallel(path, n_docs, seed, chunk_size)
+        open(marker, "w").write("ok")
+    return path
 
 
 @dataclass

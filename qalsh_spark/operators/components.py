@@ -7,8 +7,15 @@ Each iteration every vertex takes min(own label, neighbors' labels); a
 localCheckpoint truncates the lineage so the plan doesn't grow exponentially.
 Convergence is O(graph diameter) iterations; the pair generator's star rule
 (operators/pairs.py) keeps hot-bucket components at diameter 2, so in practice
-this converges in a handful of rounds even on 10^12-doc inputs.  Each round is
-two shuffles on (vertex) — AQE coalesces the tail.
+this converges in a handful of rounds even on 10^12-doc inputs.
+
+Shuffle discipline: the adjacency is hash-partitioned by the iteration join
+key (dst) ONCE and localCheckpoint'd — checkpoint preserves partitioning
+(when AQE is off, the below-10M default), and the labels side is always
+partitioned by doc_id as a groupBy/join output, so each iteration costs ONE
+exchange (the neighbor-min aggregate) instead of three.  Convergence
+detection is an O(1) decimal label-sum over the checkpointed labels — labels
+only decrease, so an unchanged sum means a fixed point.
 """
 
 from __future__ import annotations
@@ -28,7 +35,15 @@ def connected_components(
     # Symmetrize with ONE scan via explode instead of a self-union: Spark's
     # plan canonicalization fails to reuse cache/exchange across self-union
     # branches (measured 50x slower), and explode halves the input reads at
-    # any scale.
+    # any scale.  No distinct: the edge list is already one row per (a,b)
+    # (verify folds lanes; exact/escalation edges are disjoint by
+    # construction), so both directions are unique.
+    #
+    # Repartition by the iteration join key ONCE: localCheckpoint preserves
+    # the partitioning, so every loop iteration's sym-side of the neighbor
+    # join needs no exchange, and the labels side is always partitioned by
+    # doc_id (groupBy/join outputs) — the per-iteration cost drops to ONE
+    # exchange (the groupBy(src) aggregate) instead of three.
     sym = (
         edges.select(
             F.explode(
@@ -39,7 +54,7 @@ def connected_components(
             ).alias("e")
         )
         .select("e.src", "e.dst")
-        .distinct()
+        .repartition(F.col("dst"))
     )
     sym = sym.localCheckpoint()
     if verbose:
