@@ -25,8 +25,10 @@ HEADLINE = [
     "substring_pairs",
     "knn_bruteforce_cosine",
     "knn_bruteforce_l1",
+    "knn_bruteforce_lhalf",
     "lsh_ann_topk",
     "ivf_ann_topk",
+    "qalsh_plus_ann_topk",
     "embedding_neardup_exact",
     "pricing_summary",
     "topk_orders_per_customer",

@@ -120,10 +120,13 @@ def main() -> None:
         clusters.unpersist()
     res.release()
 
+    beans = spark.sparkContext._jvm.java.lang.management.ManagementFactory.getGarbageCollectorMXBeans()
+    gc_ms = sum(beans.get(i).getCollectionTime() for i in range(beans.size()))
     metrics = {
         "n_docs": n_docs,
         "n_clusters": n_clusters,
         "wall_sec": round(wall, 3),
+        "gc_sec": round(gc_ms / 1000.0, 1),
         "docs_per_hour": round(n_docs / wall * 3600.0, 1),
         "cores": n_cores,
         "master": spark.sparkContext.master,

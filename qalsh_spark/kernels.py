@@ -226,6 +226,67 @@ def srp_band_keys_matrix(
     return out.view(np.int64)
 
 
+# --- Drusilla representative sampling (QALSH+ block sketches) ----------------
+
+DRUSILLA_ANGLE = np.pi / 8.0  # close-angle suppression threshold
+# (/root/reference/methods/def.h:37)
+
+
+def drusilla_select(X: np.ndarray, n_proj: int, n_cand: int) -> np.ndarray:
+    """Pick up to ``n_proj * n_cand`` representative row indices of ``X`` —
+    the data-aware block sketch of QALSH+ (DrusillaSelect, Curtin et al.;
+    selection semantics of /root/reference/methods/qalsh_plus.h:264-412,
+    re-derived as vectorized NumPy rather than per-point loops):
+
+    shift all points by the block centroid, then ``n_proj`` rounds of:
+      1. direction = the largest-norm still-eligible shifted point,
+         normalized;
+      2. score every eligible point by ``offset^2 - distortion`` where
+         ``offset = x . direction`` and ``distortion = |x - offset*dir|^2``
+         (points far along the direction AND close to its line represent it
+         best);
+      3. keep the ``n_cand`` best-scoring points (ties broken by row index,
+         matching the (key desc, id asc) sort everywhere else) and retire
+         them from all future rounds;
+      4. unselected points within ``DRUSILLA_ANGLE`` of the direction's
+         line are suppressed from later rounds (they are already
+         well-represented by this round's picks; keeping them would re-pick
+         the same axis).
+
+    Returns the selected row indices in selection order (first round first —
+    callers that truncate get the highest-value sketch prefix).  Blocks
+    smaller than the budget return every usable point; zero-norm points
+    (duplicates of the centroid) are never selected.
+    """
+    n = X.shape[0]
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    S = X.astype(np.float64) - X.mean(axis=0, dtype=np.float64)[None, :]
+    norm = np.sqrt((S * S).sum(axis=1))
+    # norm > 0 -> live; norm == 0 -> centroid-duplicate (never selected);
+    # selected / angle-suppressed points are retired by zeroing their norm
+    out: list[int] = []
+    for _ in range(n_proj):
+        if not (norm > 0).any():
+            break
+        # largest norm, lowest index on ties (argmax is first-max already)
+        max_id = int(np.argmax(norm))
+        proj = S[max_id] / norm[max_id]
+        offset = S @ proj
+        distortion = ((S - offset[:, None] * proj[None, :]) ** 2).sum(axis=1)
+        score = np.where(norm > 0, offset * offset - distortion, -np.inf)
+        close = np.arctan(
+            np.sqrt(np.maximum(distortion, 0.0)) / np.maximum(np.abs(offset), 1e-30)
+        ) < DRUSILLA_ANGLE
+        take = min(n_cand, int((norm > 0).sum()))
+        # (score desc, index asc): lexsort keys are last-key-primary
+        order = np.lexsort((np.arange(n), -score))[:take]
+        out.extend(int(i) for i in order)
+        norm[order] = 0.0
+        norm[close] = 0.0
+    return np.asarray(out, dtype=np.int64)
+
+
 # --- suffix (exact substring) lane ------------------------------------------
 
 def anchors(text: str, window: int = 16, gap: int = 32) -> np.ndarray:

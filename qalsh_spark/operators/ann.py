@@ -236,6 +236,28 @@ def _cell_assign_udf(cents: np.ndarray, top: int):
     return _udf
 
 
+def sample_centroids(
+    vectors: DataFrame,
+    n_cells: int,
+    seed: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_n: int = 1024,
+) -> np.ndarray:
+    """Deterministic seeded-sample centroid matrix (k-means-lite stand-in
+    for the reference's kd-tree split planes, methods/qalsh_plus.h:230-250).
+    Bounded driver collect: ``sample_n`` rows regardless of table size."""
+    sample = (
+        vectors.orderBy(F.col(id_col))
+        .limit(sample_n)
+        .select(vec_col)
+        .collect()
+    )
+    rng = np.random.default_rng(seed)
+    idx = rng.choice(len(sample), size=min(n_cells, len(sample)), replace=False)
+    return np.array([[float(x) for x in sample[j][0]] for j in idx])
+
+
 def ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -255,15 +277,7 @@ def ivf_topk(
     (no shuffle), probe the nprobe nearest cells per query, exact-rescore
     the candidate cells only — the reference's block-ranking search
     (/root/reference/methods/qalsh_plus.h:568-598)."""
-    sample = (
-        vectors.orderBy(F.col(id_col))
-        .limit(sample_n)
-        .select(vec_col)
-        .collect()
-    )
-    rng = np.random.default_rng(seed)
-    idx = rng.choice(len(sample), size=min(n_cells, len(sample)), replace=False)
-    cents = np.array([[float(x) for x in sample[j][0]] for j in idx])
+    cents = sample_centroids(vectors, n_cells, seed, id_col, vec_col, sample_n)
 
     vcell = vectors.select(
         F.col(id_col),

@@ -1,0 +1,146 @@
+"""QALSH+ two-level search — the reference's kd-tree-partition +
+Drusilla-sample + block-vote architecture (/root/reference/methods/
+qalsh_plus.h:230-338 index build, 540-598 query-time block ranking),
+re-expressed Spark-first:
+
+  index:  IVF cell assignment (the kd-tree-partition analog — a
+          closure-broadcast pandas UDF, zero shuffle of the big side)
+          -> per-cell DrusillaSelect representatives via
+          ``groupBy(cell).applyInPandas`` (each cell's sketch computed
+          where its rows live — the distributed twin of the reference
+          running drusilla_select per kd-leaf).
+  query:  rank cells by VOTES: exact top-``maxk`` of each query against
+          the tiny union-of-sketches table (broadcast — n_cells*L*M rows),
+          count hits per (query, cell) exactly like get_block_order's
+          per-block counters (qalsh_plus.h:568-598), probe the ``nprobe``
+          best-voted cells, exact-rescore only their members.
+
+Scale posture: the big vectors table is touched by (1) the no-shuffle cell
+assignment and (2) ONE shuffle — groupBy(cell) for sketching; the rep table
+and the per-query cell routing are broadcast joins; rescoring shuffles only
+the candidate subset (nprobe cells per query).  No crossJoin of the big
+side ever happens.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+import pyspark.sql.types as T
+from pyspark.sql import DataFrame, Window
+
+from qalsh_spark import kernels as K
+from qalsh_spark.operators.ann import (
+    _cell_assign_udf,
+    cosine_sim,
+    sample_centroids,
+)
+
+
+def assign_cells(
+    vectors: DataFrame,
+    cents: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, embedding, cell) — nearest-centroid routing, per-Arrow-batch
+    matmul against the closure-broadcast centroid matrix (no shuffle)."""
+    return vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("embedding"),
+        F.element_at(_cell_assign_udf(cents, 1)(F.col(vec_col)), 1).alias("cell"),
+    )
+
+
+def drusilla_representatives(
+    vcell: DataFrame, n_proj: int = 4, n_cand: int = 8
+) -> DataFrame:
+    """Per-cell Drusilla sketch: for each cell keep the <= n_proj*n_cand
+    rows that best span the cell's shape (kernels.drusilla_select).  One
+    groupBy(cell) shuffle of (id, vector, cell); the sketch itself is NumPy
+    inside applyInPandas — the reference's per-leaf drusilla_select
+    (methods/qalsh_plus.h:264-338) running where the data lives."""
+    schema = T.StructType(
+        [
+            T.StructField("cell", T.IntegerType()),
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        # deterministic input order regardless of shuffle arrival order
+        pdf = pdf.sort_values("vec_id", kind="mergesort").reset_index(drop=True)
+        X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        idx = K.drusilla_select(X, n_proj, n_cand)
+        out = pdf.iloc[idx][["cell", "vec_id", "embedding"]]
+        return out
+
+    return vcell.groupBy("cell").applyInPandas(fn, schema)
+
+
+def qalsh_plus_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    n_proj: int = 4,
+    n_cand: int = 8,
+    maxk: int = 100,
+    seed: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """Two-level c-k-ANNS: Drusilla block votes pick the cells, exact cosine
+    rescoring picks the neighbors.  Result schema matches brute_force_topk:
+    (qid, neighbor_id, score, rank).
+
+    ``maxk`` is the sample-level list size that feeds the votes — the
+    reference's MAXK=100 (/root/reference/methods/def.h:43-44 feeding
+    get_block_order's counters)."""
+    cents = sample_centroids(vectors, n_cells, seed, id_col, vec_col)
+    vcell = assign_cells(vectors, cents, id_col, vec_col)
+    reps = drusilla_representatives(vcell, n_proj, n_cand)
+
+    q = queries.select(F.col(qid_col).alias("qid"), F.col(qvec_col).alias("qvec"))
+
+    # sample-level exact search: queries x (tiny) rep table, broadcast —
+    # the lsh_->knn2 over sample_data of qalsh_plus.h:575-576
+    wq = Window.partitionBy("qid").orderBy(F.desc("s_score"), F.asc("vec_id"))
+    sample_hits = (
+        q.crossJoin(F.broadcast(reps))
+        .select(
+            "qid",
+            "cell",
+            "vec_id",
+            cosine_sim(F.col("qvec"), F.col("embedding")).alias("s_score"),
+        )
+        .withColumn("s_rank", F.row_number().over(wq))
+        .filter(F.col("s_rank") <= maxk)
+    )
+    # block-vote counters -> top-nprobe cells per query
+    # (qalsh_plus.h:583-593)
+    wv = Window.partitionBy("qid").orderBy(F.desc("votes"), F.asc("cell"))
+    probe = (
+        sample_hits.groupBy("qid", "cell")
+        .agg(F.count("*").alias("votes"))
+        .withColumn("cell_rank", F.row_number().over(wv))
+        .filter(F.col("cell_rank") <= nprobe)
+        .select("qid", "cell")
+    )
+    # probe list is tiny (queries x nprobe): broadcast it onto the cell-
+    # partitioned big side, rescore candidates exactly
+    cand = vcell.join(F.broadcast(probe), on="cell").select("qid", "vec_id", "embedding")
+    scored = cand.join(F.broadcast(q), on="qid").select(
+        "qid",
+        F.col("vec_id").alias("neighbor_id"),
+        cosine_sim(F.col("qvec"), F.col("embedding")).alias("score"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

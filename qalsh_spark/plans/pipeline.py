@@ -283,12 +283,18 @@ def _prepare(documents: DataFrame) -> DataFrame:
     if "text" not in cols and "html" in cols:
         df = df.withColumn("text", extract_text_udf(F.col("html")))
     elif "html" in cols:
-        df = df.withColumn(
-            "text",
-            F.when(F.col("text").isNull(), extract_text_udf(F.col("html"))).otherwise(
-                F.col("text")
-            ),
+        # Split-union, NOT when(isNull, udf(html)): Catalyst hoists Python
+        # UDFs into an unconditional ArrowEvalPython node, so the `when`
+        # form ships EVERY html blob through the Python extractor even when
+        # every row already has text (measured: ~half the `prepared` stage
+        # wall at 1M docs).  Filters push down to the scan, so each branch
+        # reads only its rows — and the usual corpus (text fully populated)
+        # never touches Python here.
+        with_text = df.filter(F.col("text").isNotNull())
+        needs_extract = df.filter(F.col("text").isNull()).withColumn(
+            "text", extract_text_udf(F.col("html"))
         )
+        df = with_text.unionByName(needs_extract)
     if "warc_ts" not in cols:
         df = df.withColumn("warc_ts", F.lit(None).cast("timestamp"))
     if "lang" not in cols:

@@ -268,6 +268,36 @@ SELECT qid, neighbor_id, round(score, 3) AS l1, rank FROM ranked WHERE rank <= 5
 """
 
 
+def q_knn_bruteforce_lhalf(spark, sf_dir):
+    """Exact top-k under l_0.5 — the reference's fractional-norm kernel
+    (/root/reference/methods/util.h:334-384, `calc_l0_sqrt`), completing the
+    p in {0.5, 1, 2} CLI sweep as driver-oracle-checked queries."""
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    out = brute_force_topk(emb, F.broadcast(queries), k=5, metric=0.5)
+    return out.select("qid", "neighbor_id", F.round("score", 3).alias("lhalf"), "rank")
+
+
+SQL_KNN_BRUTEFORCE_LHALF = """
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 10
+), scored AS (
+  SELECT q.qid, e.vec_id AS neighbor_id,
+         pow(list_sum([pow(abs(t[1] - t[2]), 0.5) for t in list_zip(q.qvec, e.embedding)]), 2.0) AS score
+  FROM q CROSS JOIN embeddings e
+), ranked AS (
+  SELECT qid, neighbor_id, score,
+         row_number() OVER (PARTITION BY qid ORDER BY score, neighbor_id) AS rank
+  FROM scored
+)
+SELECT qid, neighbor_id, round(score, 3) AS lhalf, rank FROM ranked WHERE rank <= 5
+"""
+
+
 def q_per_dim_variance(spark, sf_dir):
     """Per-dimension variance/stddev stats — the reference's kd-split
     dimension choice driver (/root/reference/methods/kd_tree.h:335-373,
@@ -917,6 +947,25 @@ def q_ivf_ann_topk(spark, sf_dir):
     )
 
 
+def q_qalsh_plus_ann_topk(spark, sf_dir):
+    """Rows-only (two-level LSH routing is not SQL-expressible): QALSH+
+    analog — per-cell Drusilla representative sketches rank the cells by
+    sample votes, then exact rescoring inside the best-voted cells
+    (/root/reference/methods/qalsh_plus.h:264-338, 540-598).  pytest
+    asserts recall@10 vs brute force on planted data."""
+    from qalsh_spark.operators.drusilla import qalsh_plus_topk
+
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return qalsh_plus_topk(emb, queries, k=5, n_cells=8, nprobe=4).select(
+        "qid", "neighbor_id", F.round("score", 3).alias("cos"), "rank"
+    )
+
+
 def q_embedding_near_dup(spark, sf_dir):
     """Rows-only (LSH discovery is not SQL-expressible): SRP-bucketed
     near-dup pairs.  Threshold 0.4 matches embedding_neardup_exact so the
@@ -944,6 +993,7 @@ QUERIES: dict[str, SparkQuery] = {
     # embeddings lane
     "knn_bruteforce_cosine": q_knn_bruteforce_cosine,
     "knn_bruteforce_l1": q_knn_bruteforce_l1,
+    "knn_bruteforce_lhalf": q_knn_bruteforce_lhalf,
     "centroid_by_label": q_centroid_by_label,
     "per_dim_variance": q_per_dim_variance,
     "vector_norm_topk": q_vector_norm_topk,
@@ -974,6 +1024,7 @@ QUERIES: dict[str, SparkQuery] = {
     "substring_pairs": q_substring_pairs,
     "lsh_ann_topk": q_lsh_ann_topk,
     "ivf_ann_topk": q_ivf_ann_topk,
+    "qalsh_plus_ann_topk": q_qalsh_plus_ann_topk,
     "embedding_near_dup": q_embedding_near_dup,
 }
 
@@ -987,6 +1038,7 @@ ORACLE_SQL: dict[str, str] = {
     "token_jaccard_pairs": SQL_TOKEN_JACCARD_PAIRS,
     "knn_bruteforce_cosine": SQL_KNN_BRUTEFORCE_COSINE,
     "knn_bruteforce_l1": SQL_KNN_BRUTEFORCE_L1,
+    "knn_bruteforce_lhalf": SQL_KNN_BRUTEFORCE_LHALF,
     "centroid_by_label": SQL_CENTROID_BY_LABEL,
     "per_dim_variance": SQL_PER_DIM_VARIANCE,
     "vector_norm_topk": SQL_VECTOR_NORM_TOPK,

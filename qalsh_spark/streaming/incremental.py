@@ -16,6 +16,44 @@ from qalsh_spark.config import DedupConfig
 from qalsh_spark.functions.signatures import sign_documents
 
 
+def streaming_exact_dedup(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "1 hour",
+    schema: str = "url string, warc_ts timestamp, html binary, text string, lang string",
+):
+    """Stateful streaming exact-dedup: keep the first arrival of each
+    byte-identical text, drop later copies — the streaming twin of the batch
+    pipeline's exact-group pre-pass (plans/pipeline.py), keyed on the same
+    collision-safe (length(text), xxhash64(text)) pair.
+
+    Uses dropDuplicatesWithinWatermark: state for a given key is reclaimed
+    once the event-time watermark passes it, so state size is bounded by the
+    duplicate-arrival window rather than the corpus — the property that
+    makes this runnable forever on a crawl firehose.  Returns the
+    StreamingQuery (caller stops it)."""
+    import pyspark.sql.functions as F
+
+    stream = spark.readStream.schema(schema).parquet(input_dir)
+    deduped = (
+        stream.withColumn("text_len", F.length("text"))
+        .withColumn("text_hash", F.xxhash64("text"))
+        .withWatermark("warc_ts", watermark)
+        .dropDuplicatesWithinWatermark(["text_len", "text_hash"])
+        .drop("text_len", "text_hash")
+    )
+    return (
+        deduped.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def incremental_signatures(
     spark: SparkSession,
     input_dir: str,

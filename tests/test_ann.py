@@ -172,6 +172,66 @@ def test_lp_distances_match_numpy(spark):
         assert got == pytest.approx(want, rel=1e-9), f"p={p}"
 
 
+def test_drusilla_select_kernel_properties(emb_set):
+    """kernels.drusilla_select semantics (/root/reference/methods/
+    qalsh_plus.h:264-338): deterministic, budget-bounded, first pick is the
+    farthest point from the centroid, never selects a centroid-duplicate."""
+    X = emb_set.X[:100].astype(np.float64)
+    idx = K.drusilla_select(X, n_proj=4, n_cand=8)
+    assert len(idx) <= 32
+    assert len(set(idx.tolist())) == len(idx), "duplicate representative"
+    assert np.array_equal(idx, K.drusilla_select(X, 4, 8)), "nondeterministic"
+    S = X - X.mean(axis=0)
+    assert idx[0] == int(np.argmax((S * S).sum(axis=1))), (
+        "first pick must be the max-norm shifted point"
+    )
+    # a block of identical points has no usable directions -> empty sketch
+    Xdup = np.ones((5, X.shape[1]))
+    assert len(K.drusilla_select(Xdup, 4, 8)) == 0
+    # tiny block: every usable point returned, budget not exceeded
+    assert len(K.drusilla_select(X[:3], 4, 8)) <= 3
+
+
+def test_drusilla_representatives_match_numpy(spark, emb_set, emb_df):
+    """Per-cell applyInPandas sketching == running the kernel on each cell's
+    rows directly (exact parity, not just shape)."""
+    from qalsh_spark.operators.drusilla import (
+        assign_cells,
+        drusilla_representatives,
+    )
+    from qalsh_spark.operators.ann import sample_centroids
+
+    cents = sample_centroids(emb_df, n_cells=8)
+    vcell = assign_cells(emb_df, cents)
+    got = {}
+    for r in drusilla_representatives(vcell, n_proj=3, n_cand=4).collect():
+        got.setdefault(r["cell"], []).append(r["vec_id"])
+    # local re-derivation: same assignment math, same kernel
+    X = emb_set.X.astype(np.float64)
+    d2 = -2.0 * (X @ cents.T) + (cents**2).sum(axis=1)[None, :]
+    cells = d2.argmin(axis=1)
+    for cell in sorted(set(cells.tolist())):
+        ids = np.where(cells == cell)[0]
+        want = ids[K.drusilla_select(X[ids], 3, 4)]
+        assert sorted(got.get(cell, [])) == sorted(want.tolist()), f"cell {cell}"
+
+
+def test_qalsh_plus_topk_recall_at_10(spark, emb_df):
+    from qalsh_spark.operators.drusilla import qalsh_plus_topk
+
+    queries = emb_df.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    truth = brute_force_topk(emb_df, F.broadcast(queries), k=10)
+    approx = qalsh_plus_topk(
+        emb_df, queries, k=10, n_cells=16, nprobe=6, n_proj=4, n_cand=8
+    )
+    t = {(r["qid"], r["neighbor_id"]) for r in truth.collect()}
+    a = {(r["qid"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(t & a) / len(t)
+    assert recall >= 0.8, f"qalsh+ recall@10 {recall:.3f}"
+
+
 def test_ann_recall_sweep_shape(spark, emb_df):
     """The TOPKs sweep query returns one row per k with recall in [0,1]."""
     from qalsh_spark.queries import ANN_TOPKS, ann_recall_sweep

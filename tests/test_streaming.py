@@ -16,6 +16,63 @@ from qalsh_spark.datagen import corpus_to_table, generate_corpus
 from qalsh_spark.streaming.incremental import incremental_signatures
 
 
+def _stream_batch(path: str, texts: list[str], tag: str) -> None:
+    """Write one micro-batch file: controlled texts, one shared event time
+    (keeps every key inside the watermark window deterministically)."""
+    import datetime
+
+    import pyarrow as pa
+
+    ts = datetime.datetime(2025, 3, 1, 12, 0, 0)
+    pq.write_table(
+        pa.table(
+            {
+                "url": [f"https://x.example/{tag}/{i}" for i in range(len(texts))],
+                "warc_ts": pa.array([ts] * len(texts), pa.timestamp("us")),
+                "html": pa.array([None] * len(texts), pa.binary()),
+                "text": texts,
+                "lang": ["en"] * len(texts),
+            }
+        ),
+        path,
+    )
+
+
+def test_streaming_exact_dedup(spark, tmp_path):
+    """dropDuplicatesWithinWatermark on (text_len, text_hash): duplicate
+    texts — within a micro-batch AND across micro-batches via the state
+    store — are dropped; unique texts pass through."""
+    from qalsh_spark.streaming.incremental import streaming_exact_dedup
+
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    _stream_batch(
+        os.path.join(in_dir, "b0.parquet"), ["A", "B", "C", "A wait", "A"], "b0"
+    )
+
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q = streaming_exact_dedup(spark, in_dir, out_dir, ckpt)
+    q.awaitTermination(120)
+    first = {r["text"] for r in spark.read.parquet(out_dir).collect()}
+    assert first == {"A", "B", "C", "A wait"}  # in-batch dup "A" dropped
+    assert spark.read.parquet(out_dir).count() == 4
+
+    # restart from checkpoint: cross-batch dups hit the state store
+    _stream_batch(
+        os.path.join(in_dir, "b1.parquet"), ["A", "B", "D", "E", "D"], "b1"
+    )
+    q2 = streaming_exact_dedup(spark, in_dir, out_dir, ckpt)
+    q2.awaitTermination(120)
+    rows = spark.read.parquet(out_dir).collect()
+    texts = [r["text"] for r in rows]
+    assert sorted(texts) == ["A", "A wait", "B", "C", "D", "E"]
+    # the survivor of each key is the FIRST arrival (b0's url, not b1's)
+    by_text = {r["text"]: r["url"] for r in rows}
+    assert "/b0/" in by_text["A"] and "/b0/" in by_text["B"]
+    assert "/b1/" in by_text["D"]
+
+
 def test_incremental_signatures(spark, tmp_path):
     c = generate_corpus(50, seed=7)
     in_dir = str(tmp_path / "in")
