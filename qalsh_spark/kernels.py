@@ -33,6 +33,33 @@ _M1 = np.uint64(0x9E3779B97F4A7C15)
 _M2 = np.uint64(0xC2B2AE3D27D4EB4F)
 _M3 = np.uint64(0xFF51AFD7ED558CCD)
 _M4 = np.uint64(0xC4CEB9FE1A85EC53)
+# multiplicative inverse of _M1 mod 2^64 (exists: _M1 is odd) — lets the
+# anchor rolling hash be computed with O(1) work per byte instead of an
+# O(window) sliding-window multiply (see `anchors`)
+_M1_INV = np.uint64(pow(0x9E3779B97F4A7C15, -1, 1 << 64))
+
+# Per-process caches for the small constant tables the hot per-document
+# kernels need (polynomial power vectors, block-combination indices).
+# Rebuilding them per call costs more than the vector math they feed —
+# ~100 scalar NumPy multiplies per document at the defaults.
+_POW_CACHE: dict = {}
+_COMBO_CACHE: dict = {}
+
+
+def _pow_table(base: np.uint64, length: int, descending: bool = True) -> np.ndarray:
+    """[base^(length-1), ..., base, 1] (mod 2^64) — cached per (base, length,
+    order)."""
+    key = (int(base), length, descending)
+    t = _POW_CACHE.get(key)
+    if t is None:
+        with np.errstate(over="ignore"):
+            t = np.full(length, base, dtype=np.uint64)
+            t[0] = 1
+            np.cumprod(t, out=t)
+            if descending:
+                t = t[::-1].copy()
+        _POW_CACHE[key] = t
+    return t
 
 _TOKEN_RE = re.compile(r"[a-z0-9]+")
 
@@ -100,7 +127,8 @@ def minhash_from_shingles(
     """128-perm MinHash: min over shingles of (a_i*s + b_i) mod 2^64, top 32
     bits kept -> int32 array (FIXTURES.md §2 schema)."""
     with np.errstate(over="ignore"):
-        v = shingles[:, None] * a[None, :] + b[None, :]
+        v = shingles[:, None] * a[None, :]
+        v += b[None, :]  # in place: one (n_shingles, num_perm) temp, not two
     mh64 = v.min(axis=0)
     return (mh64 >> np.uint64(32)).astype(np.uint32).view(np.int32)
 
@@ -111,11 +139,18 @@ _BIT_SHIFTS = np.arange(64, dtype=np.uint64)
 def simhash64(token_hashes: np.ndarray) -> int:
     """64-bit SimHash over (multiset of) token hashes; returns signed int64-
     compatible Python int. Ties (vote == 0) resolve to bit 0."""
-    if len(token_hashes) == 0:
+    n = len(token_hashes)
+    if n == 0:
         return 0
-    bits = (token_hashes[:, None] >> _BIT_SHIFTS[None, :]) & np.uint64(1)
-    votes = bits.sum(axis=0, dtype=np.int64) * 2 - len(token_hashes)
-    fp = np.uint64(0)
+    # Bit histogram via unpackbits over the little-endian byte view: column
+    # j of the (n, 64) uint8 matrix is bit j of each hash.  8x less memory
+    # traffic than the former (n, 64) uint64 shift-and-mask broadcast.
+    bits = np.unpackbits(
+        np.ascontiguousarray(token_hashes).view(np.uint8).reshape(n, 8),
+        axis=1,
+        bitorder="little",
+    )
+    votes = bits.sum(axis=0, dtype=np.int64) * 2 - n
     set_bits = (votes > 0).astype(np.uint64)
     with np.errstate(over="ignore"):
         fp = (set_bits << _BIT_SHIFTS).sum(dtype=np.uint64)
@@ -179,20 +214,29 @@ def simhash_band_keys(
     junk pairs at 10^6 docs).  Three-block keys carry ~32 bits, pushing
     saturation out by ~2^16 while keeping the same Hamming-3 guarantee at
     C(6,3)=20 keys/doc."""
+    key = (blocks, key_blocks, bits)
+    cached = _COMBO_CACHE.get(key)
+    if cached is None:
+        bounds = _simhash_block_bounds(bits, blocks)
+        idx = np.array(
+            list(_combinations(range(blocks), key_blocks)), dtype=np.int64
+        )  # (n_combos, key_blocks)
+        shifts = np.array([p for p, _ in bounds], dtype=np.uint64)
+        masks = np.array([(1 << w) - 1 for _, w in bounds], dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            seeds = (np.arange(len(idx), dtype=np.uint64) + np.uint64(1)) * _M1
+        cached = (idx, shifts, masks, seeds)
+        _COMBO_CACHE[key] = cached
+    idx, shifts, masks, seeds = cached
     u = np.uint64(int(fp) & 0xFFFFFFFFFFFFFFFF)
-    bounds = _simhash_block_bounds(bits, blocks)
-    vals = []
-    for pos, w in bounds:
-        vals.append((u >> np.uint64(pos)) & np.uint64((1 << w) - 1))
-    combos = list(_combinations(range(blocks), key_blocks))
-    out = np.empty(len(combos), dtype=np.uint64)
     with np.errstate(over="ignore"):
-        for ci, combo in enumerate(combos):
-            h = np.uint64(ci + 1) * _M1
-            for b in combo:
-                h = (h ^ vals[b]) * _M2
-            out[ci] = h
-    return _mix64(out).view(np.int64)
+        vals = (u >> shifts) & masks  # (blocks,) block values
+        # same per-combo fold as the former scalar loop ((h ^ val) * M2 per
+        # chosen block), vectorized across all combinations at once
+        h = seeds.copy()
+        for col in range(idx.shape[1]):
+            h = (h ^ vals[idx[:, col]]) * _M2
+    return _mix64(h).view(np.int64)
 
 
 # --- SRP (signed random projection) lane for embeddings ----------------------
@@ -298,14 +342,26 @@ def anchors(text: str, window: int = 16, gap: int = 32) -> np.ndarray:
     n = len(data)
     if n < window:
         return np.zeros(1 if n else 0, dtype=np.int64)
-    win = np.lib.stride_tricks.sliding_window_view(data, window).astype(np.uint64)
+    # Rolling formulation of h(i) = sum_j data[i+j] * M1^(window-1-j):
+    # with Minv = M1^-1 (mod 2^64),
+    #   h(i) = M1^(window-1+i) * (P[i+window-1] - P[i-1]),
+    #   P[k]  = sum_{j<=k} data[j] * Minv^j  (prefix sums, all mod 2^64).
+    # Bit-identical to the former sliding_window_view multiply-sum, but
+    # O(1) vector work per byte instead of O(window) — the window view
+    # materialized window*8 bytes of uint64 traffic per input byte, which
+    # made this the single hottest line of the signing stage.
     with np.errstate(over="ignore"):
-        pows = np.empty(window, dtype=np.uint64)
-        p = np.uint64(1)
-        for i in range(window):
-            pows[window - 1 - i] = p
-            p = p * _M1
-        h = _mix64((win * pows[None, :]).sum(axis=1, dtype=np.uint64))
+        minv_pows = np.full(n, _M1_INV, dtype=np.uint64)
+        minv_pows[0] = 1
+        np.cumprod(minv_pows, out=minv_pows)  # Minv^j
+        pref = np.cumsum(data * minv_pows, dtype=np.uint64)  # inclusive P[k]
+        wsum = pref[window - 1 :].copy()
+        wsum[1:] -= pref[: n - window]
+        mpows = np.full(n - window + 1, _M1, dtype=np.uint64)
+        mpows[0] = _pow_table(_M1, window, descending=True)[0]  # M1^(window-1)
+        np.cumprod(mpows, out=mpows)  # M1^(window-1+i)
+        wsum *= mpows
+        h = _mix64(wsum)
     pos = np.nonzero(h % np.uint64(gap) == np.uint64(0))[0] + window  # anchor = end of window
     pos = pos[pos < n]
     if len(pos) == 0:
@@ -351,15 +407,9 @@ def suffix_key_pairs_for_text(
     win = np.lib.stride_tricks.sliding_window_view(data, lcp_min)[pos].astype(
         np.uint64
     )
+    pows1 = _pow_table(_M2, lcp_min, descending=True)
+    pows2 = _pow_table(_M1, lcp_min, descending=True)
     with np.errstate(over="ignore"):
-        pows1 = np.empty(lcp_min, dtype=np.uint64)
-        pows2 = np.empty(lcp_min, dtype=np.uint64)
-        p1 = p2 = np.uint64(1)
-        for i in range(lcp_min):
-            pows1[lcp_min - 1 - i] = p1
-            pows2[lcp_min - 1 - i] = p2
-            p1 = p1 * _M2
-            p2 = p2 * _M1
         h1 = _mix64((win * pows1[None, :]).sum(axis=1, dtype=np.uint64))
         h2 = _mix64(
             (win * pows2[None, :]).sum(axis=1, dtype=np.uint64) ^ _M4
