@@ -105,11 +105,13 @@ def run_level(corpus: str, cpus: int) -> dict:
         "--json",
     ]
     env = dict(os.environ)
-    # Big-corpus levels cache ~GBs of stage output (signatures/buckets/pairs)
-    # per the stage-persist design; size the single-JVM heap so the measured
-    # walls reflect compute, not cache-eviction churn.  A real cluster sizes
-    # executor memory the same way (spark.executor.memory).
-    env.setdefault("QALSH_DRIVER_MEM", "48g")
+    # Per-core-fair heap (4 GB/core): the north rule compares N vs 4N
+    # EXECUTORS — identical executor specs, so total memory scales 4x with
+    # the cores.  Giving both local[] levels one fixed heap would
+    # under-provision the 4N side 4x relative to a real cluster (GC churn
+    # and cache eviction a real 4N fleet does not see).  Override with
+    # QALSH_DRIVER_MEM.
+    env.setdefault("QALSH_DRIVER_MEM", f"{max(4 * cpus, 8)}g")
     t0 = time.time()
     out = subprocess.run(
         cmd, capture_output=True, text=True, cwd=REPO, timeout=10800, env=env
@@ -170,6 +172,14 @@ def run_leg(docs: int, cpus: int, seed: int = 42) -> dict:
     m = run_level(corpus, cpus)
     m["cpu_probe"] = probe
     m["n_docs_corpus"] = docs
+    m["heap"] = os.environ.get("QALSH_DRIVER_MEM", f"{max(4 * cpus, 8)}g")
+    try:
+        m["git_rev"] = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"], capture_output=True,
+            text=True, cwd=REPO,
+        ).stdout.strip()
+    except Exception:
+        pass
     os.makedirs(os.path.dirname(LEDGER), exist_ok=True)
     with open(LEDGER, "a") as f:
         f.write(json.dumps(m) + "\n")
@@ -285,7 +295,17 @@ def finalize(args) -> None:
     the ledger and is printed in the report — nothing is discarded, the
     protocol is auditable."""
     runs = [json.loads(l) for l in open(LEDGER) if l.strip()]
-    gate = [r for r in runs if r["n_docs_corpus"] == args.docs]
+    # The headline pair must compare the SAME code: restrict to entries from
+    # the current git rev (every leg records git_rev).  Older-rev rows stay
+    # in the ledger table for the audit trail but cannot be paired.
+    head = subprocess.run(
+        ["git", "rev-parse", "--short", "HEAD"], capture_output=True,
+        text=True, cwd=REPO,
+    ).stdout.strip()
+    gate = [
+        r for r in runs
+        if r["n_docs_corpus"] == args.docs and r.get("git_rev", head) == head
+    ]
     by_level: dict[int, list[dict]] = {}
     for r in gate:
         by_level.setdefault(r["cores"], []).append(r)
@@ -336,9 +356,10 @@ def finalize(args) -> None:
     }
     # fixed/linear decomposition from min walls at every corpus size with
     # both levels present
-    for n in sorted({r["n_docs_corpus"] for r in runs}):
-        ls = [r for r in runs if r["n_docs_corpus"] == n and r["cores"] == args.low]
-        hs = [r for r in runs if r["n_docs_corpus"] == n and r["cores"] == args.high]
+    cur = [r for r in runs if r.get("git_rev", head) == head]
+    for n in sorted({r["n_docs_corpus"] for r in cur}):
+        ls = [r for r in cur if r["n_docs_corpus"] == n and r["cores"] == args.low]
+        hs = [r for r in cur if r["n_docs_corpus"] == n and r["cores"] == args.high]
         if ls and hs:
             l0 = min(ls, key=lambda r: r["wall_sec"])
             h0 = min(hs, key=lambda r: r["wall_sec"])
@@ -474,6 +495,12 @@ materialized via a noop-format write.
   efficiency — both directions invalidate a pair.  This headline pair's
   interpreter-probe ratio is within [3.2, 5.0]
   (`pair_window_balanced`: {s.get('pair_window_balanced', host_ok)}).
+- **Per-core-fair heap:** each level runs with 4 GB of JVM heap per core
+  (local[4] -> 16g, local[16] -> 64g).  The north rule compares N vs 4N
+  *executors* of identical spec, so total memory scales with the cores on a
+  real cluster; a fixed shared heap would starve the 4N side 4x (GC churn /
+  cache eviction no real 4N fleet experiences).  The heap of every run is
+  recorded in the ledger.
 - **Why N=4 / 4N=16 and not 8/32:** the host has 32 physical cores.  A
   local[32] run schedules 32 JVM task threads + 32 Python UDF worker
   processes + driver + GC on those same 32 cores; the resulting
@@ -492,10 +519,11 @@ materialized via a noop-format write.
 
 Every stage is shuffle-partitioned data-parallel work with no driver-side
 data loops (SURVEY.md §4): signing is an Arrow-batched mapInPandas over
-input splits; bucketing/pair-generation is ONE window exchange of the slim
-bucket stream; verify is hash joins on doc_id; connected-components costs
-one exchange per iteration (pre-partitioned adjacency, partitioning
-preserved through localCheckpoint).  The residual non-scaling cost is the
+input splits; bucketing/pair-generation is ONE hash exchange + hash
+aggregate of the slim bucket stream (no sort — pairs explode from each
+bucket's sorted member array); verify is hash joins on doc_id;
+connected-components costs one exchange per iteration (pre-partitioned
+adjacency, partitioning preserved through localCheckpoint).  The residual non-scaling cost is the
 NONPAR term in the decomposition above: per-stage scheduling latency
 (amortizes to nothing at real corpus sizes) plus, on THIS shared box,
 memory-bus/spill-device contention that a real cluster — which adds

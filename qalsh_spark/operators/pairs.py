@@ -37,7 +37,7 @@ grouping key would only fatten the engine's highest-volume shuffle.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 
 from qalsh_spark.operators.banding import LANE_NAMES, lane_name_col
 
@@ -89,52 +89,50 @@ def candidate_pairs_from_buckets(
     creates, so the caller can unpersist them once pairs/stats are consumed
     (DedupResult.release()); without it the cache lives until session end.
     """
-    # Single exchange: size + hub as window aggregates (no orderBy => no
-    # rank semantics, just per-bucket count/min after one hash partition).
-    w = Window.partitionBy("band_key")
-    with_size = (
-        buckets.select(
-            "doc_id",
-            "lane_id",
-            "band_key",
-            F.count("*").over(w).cast("int").alias("bucket_size"),
-            F.min("doc_id").over(w).alias("hub"),
-        )
+    # ONE hash aggregate: bucket -> sorted member array.  The former design
+    # computed size/hub as window aggregates, and WindowExec requires a full
+    # SORT of the bucket stream by band_key (~120 rows/doc — at 4M docs a
+    # 480M-row sort) on top of the same exchange; a groupBy collect_list
+    # needs only the hash exchange + hash agg, and the per-row
+    # (bucket_size, hub) columns the window duplicated onto every member row
+    # become one array per bucket.  Memory per group is unchanged: WindowExec
+    # buffered each unbounded-frame group wholesale too; a billion-member
+    # boilerplate group is exactly why the star rule exists.
+    grouped = (
+        buckets.groupBy("band_key", "lane_id")
+        .agg(F.array_sort(F.collect_list(F.col("doc_id"))).alias("members"))
+        .withColumn("bucket_size", F.size("members"))
         .persist()
     )
     if persists is not None:
-        persists.append(with_size)
+        persists.append(grouped)
     cap = _cap_expr(bucket_cap)
+    sz = F.col("bucket_size")
 
-    # small buckets: bounded collect_list -> JVM all-pairs.  groupBy keys
-    # start with band_key, so the cached HashPartitioning(band_key) satisfies
-    # the clustering requirement — no re-exchange.
-    small_arrays = (
-        with_size.filter(
-            (F.col("bucket_size") >= 2) & (F.col("bucket_size") <= cap)
+    # small buckets (2 <= size <= cap): JVM all-pairs from the member array;
+    # hot buckets: star to the hub = members[0] (the min doc_id — members is
+    # sorted ascending, so pair order a < b and the emitted edge set are
+    # bit-identical to the former per-row formulation).  One CASE expression
+    # keeps both shapes in a single scan of the cached aggregate.
+    pair_arr = F.when(sz <= cap, _pair_structs(F.col("members"))).otherwise(
+        F.transform(
+            F.slice(F.col("members"), 2, sz - 1),
+            lambda y: F.struct(
+                F.element_at(F.col("members"), 1).alias("a"), y.alias("b")
+            ),
         )
-        .groupBy("band_key", "lane_id")
-        .agg(F.array_sort(F.collect_list(F.col("doc_id"))).alias("members"))
     )
-    small_pairs = small_arrays.select(
-        "lane_id",
-        F.explode(_pair_structs(F.col("members"))).alias("pair"),
-    ).select("pair.a", "pair.b", "lane_id")
-
-    # hot buckets: star to the hub (min doc_id) — projection, no grouping
-    big_pairs = with_size.filter(
-        (F.col("bucket_size") > cap) & (F.col("doc_id") != F.col("hub"))
-    ).select(F.col("hub").alias("a"), F.col("doc_id").alias("b"), "lane_id")
-
-    pairs = small_pairs.unionByName(big_pairs)
+    pairs = (
+        grouped.filter(sz >= 2)
+        .select("lane_id", F.explode(pair_arr).alias("pair"))
+        .select("pair.a", "pair.b", "lane_id")
+    )
     if dedup:
         pairs = pairs.dropDuplicates(["a", "b", "lane_id"])
 
-    # one row per bucket = its hub member; partial agg collapses to the 3
+    # stats: one row per bucket already — partial agg collapses to the 3
     # lanes map-side, so the stats shuffle is a handful of rows
-    per_bucket = with_size.filter(F.col("doc_id") == F.col("hub")).withColumn(
-        "cap", cap
-    )
+    per_bucket = grouped.withColumn("cap", cap)
     stats = (
         per_bucket.groupBy("lane_id")
         .agg(
