@@ -105,13 +105,16 @@ def run_level(corpus: str, cpus: int) -> dict:
         "--json",
     ]
     env = dict(os.environ)
-    # Per-core-fair heap (4 GB/core): the north rule compares N vs 4N
+    # Per-core-fair heap (3 GB/core): the north rule compares N vs 4N
     # EXECUTORS — identical executor specs, so total memory scales 4x with
     # the cores.  Giving both local[] levels one fixed heap would
     # under-provision the 4N side 4x relative to a real cluster (GC churn
-    # and cache eviction a real 4N fleet does not see).  Override with
+    # and cache eviction a real 4N fleet does not see).  3 GB/core, not 4:
+    # the tmpfs shuffle scratch (~55 GB at the 4M gate corpus) shares this
+    # host's RAM with the heap, and 64g heap + scratch + Python workers
+    # exceeds the 125 GB box (measured: JVM death mid-run).  Override with
     # QALSH_DRIVER_MEM.
-    env.setdefault("QALSH_DRIVER_MEM", f"{max(4 * cpus, 8)}g")
+    env.setdefault("QALSH_DRIVER_MEM", f"{max(3 * cpus, 8)}g")
     t0 = time.time()
     out = subprocess.run(
         cmd, capture_output=True, text=True, cwd=REPO, timeout=10800, env=env
@@ -172,7 +175,7 @@ def run_leg(docs: int, cpus: int, seed: int = 42) -> dict:
     m = run_level(corpus, cpus)
     m["cpu_probe"] = probe
     m["n_docs_corpus"] = docs
-    m["heap"] = os.environ.get("QALSH_DRIVER_MEM", f"{max(4 * cpus, 8)}g")
+    m["heap"] = os.environ.get("QALSH_DRIVER_MEM", f"{max(3 * cpus, 8)}g")
     try:
         m["git_rev"] = subprocess.run(
             ["git", "rev-parse", "--short", "HEAD"], capture_output=True,
@@ -495,8 +498,8 @@ materialized via a noop-format write.
   efficiency — both directions invalidate a pair.  This headline pair's
   interpreter-probe ratio is within [3.2, 5.0]
   (`pair_window_balanced`: {s.get('pair_window_balanced', host_ok)}).
-- **Per-core-fair heap:** each level runs with 4 GB of JVM heap per core
-  (local[4] -> 16g, local[16] -> 64g).  The north rule compares N vs 4N
+- **Per-core-fair heap:** each level runs with 3 GB of JVM heap per core
+  (local[4] -> 12g, local[16] -> 48g).  The north rule compares N vs 4N
   *executors* of identical spec, so total memory scales with the cores on a
   real cluster; a fixed shared heap would starve the 4N side 4x (GC churn /
   cache eviction no real 4N fleet experiences).  The heap of every run is
