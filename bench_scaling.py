@@ -160,6 +160,16 @@ def _decompose(lo: dict, hi: dict, low: int, high: int) -> dict:
 LEDGER = os.path.join(REPO, "BENCH", "runs_ledger.jsonl")
 
 
+def _git_rev() -> str | None:
+    try:
+        return subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"], capture_output=True,
+            text=True, cwd=REPO,
+        ).stdout.strip() or None
+    except Exception:
+        return None
+
+
 def run_leg(docs: int, cpus: int, seed: int = 42) -> dict:
     """Measure ONE level once (probe + job) and append it to the runs
     ledger.  Used to accumulate repeated measurements of the same level
@@ -176,13 +186,9 @@ def run_leg(docs: int, cpus: int, seed: int = 42) -> dict:
     m["cpu_probe"] = probe
     m["n_docs_corpus"] = docs
     m["heap"] = os.environ.get("QALSH_DRIVER_MEM", f"{max(3 * cpus, 8)}g")
-    try:
-        m["git_rev"] = subprocess.run(
-            ["git", "rev-parse", "--short", "HEAD"], capture_output=True,
-            text=True, cwd=REPO,
-        ).stdout.strip()
-    except Exception:
-        pass
+    rev = _git_rev()
+    if rev:
+        m["git_rev"] = rev
     os.makedirs(os.path.dirname(LEDGER), exist_ok=True)
     with open(LEDGER, "a") as f:
         f.write(json.dumps(m) + "\n")
@@ -235,10 +241,15 @@ def main() -> None:
         int(x) for x in args.extra_levels.split(",") if x.strip()
     ]
     results = _measure(gate_corpus, levels)
+    rev = _git_rev()
     os.makedirs(os.path.dirname(LEDGER), exist_ok=True)
     with open(LEDGER, "a") as f:
         for cpus, m in results.items():
-            f.write(json.dumps({**m, "n_docs_corpus": args.docs}) + "\n")
+            row = {**m, "n_docs_corpus": args.docs}
+            if rev:
+                row["git_rev"] = rev  # sweep rows must be pairable by
+                # finalize's same-rev rule just like run_leg rows
+            f.write(json.dumps(row) + "\n")
 
     lo, hi = results[args.low], results[args.high]
     speedup = lo["wall_sec"] / hi["wall_sec"]
@@ -272,7 +283,10 @@ def main() -> None:
         fit = _measure(fit_corpus, [args.low, args.high])
         with open(LEDGER, "a") as f:
             for cpus, m in fit.items():
-                f.write(json.dumps({**m, "n_docs_corpus": args.fit_docs}) + "\n")
+                row = {**m, "n_docs_corpus": args.fit_docs}
+                if rev:
+                    row["git_rev"] = rev
+                f.write(json.dumps(row) + "\n")
         flo, fhi = fit[args.low], fit[args.high]
         summary["fit"] = {
             "n_docs": args.fit_docs,
@@ -307,9 +321,12 @@ def finalize(args) -> None:
         ["git", "rev-parse", "--short", "HEAD"], capture_output=True,
         text=True, cwd=REPO,
     ).stdout.strip()
+    # Rows lacking git_rev are NON-pairable (older harness versions didn't
+    # stamp the sweep path) — defaulting them to head would let stale-code
+    # legs into the headline pair.
     gate = [
         r for r in runs
-        if r["n_docs_corpus"] == args.docs and r.get("git_rev", head) == head
+        if r["n_docs_corpus"] == args.docs and r.get("git_rev") == head
     ]
     by_level: dict[int, list[dict]] = {}
     for r in gate:
@@ -385,7 +402,7 @@ def finalize(args) -> None:
     }
     # fixed/linear decomposition from min walls at every corpus size with
     # both levels present
-    cur = [r for r in runs if r.get("git_rev", head) == head]
+    cur = [r for r in runs if r.get("git_rev") == head]
     for n in sorted({r["n_docs_corpus"] for r in cur}):
         ls = [r for r in cur if r["n_docs_corpus"] == n and r["cores"] == args.low]
         hs = [r for r in cur if r["n_docs_corpus"] == n and r["cores"] == args.high]

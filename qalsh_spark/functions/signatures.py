@@ -46,6 +46,31 @@ def extract_text_udf(html: pd.Series) -> pd.Series:
     return html.map(extract_text_bytes)
 
 
+def ensure_text(documents: DataFrame) -> DataFrame:
+    """Guarantee a populated (non-null) `text` column, extracting from `html`
+    only where needed.
+
+    Split-union, NOT when(isNull, udf(html)): Catalyst hoists Python UDFs
+    into an unconditional ArrowEvalPython node, so the `when` form ships
+    EVERY html blob through the Python extractor even when every row already
+    has text (measured: ~half the `prepared` stage wall at 1M docs).  The
+    filters push down to the scan, each branch reads only its rows, and the
+    usual corpus (text fully populated) never touches Python here.  Filter +
+    union are Structured-Streaming-supported, so streaming inputs get the
+    same plan shape (the former streaming path paid the full penalty)."""
+    cols = set(documents.columns)
+    df = documents
+    if "text" not in cols and "html" in cols:
+        df = df.withColumn("text", extract_text_udf(F.col("html")))
+    elif "html" in cols:
+        with_text = df.filter(F.col("text").isNotNull())
+        needs_extract = df.filter(F.col("text").isNull()).withColumn(
+            "text", extract_text_udf(F.col("html"))
+        )
+        df = with_text.unionByName(needs_extract)
+    return df.withColumn("text", F.coalesce(F.col("text"), F.lit("")))
+
+
 _SIGNATURE_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -138,16 +163,7 @@ def sign_documents(documents: DataFrame, cfg: DedupConfig) -> DataFrame:
     (FIXTURES.md §2 + suffix-lane columns).  If `text` is null/absent it is
     extracted from `html` (stage 2 'extract' of SURVEY.md §3.4)."""
     cols = set(documents.columns)
-    df = documents
-    if "text" not in cols and "html" in cols:
-        df = df.withColumn("text", extract_text_udf(F.col("html")))
-    elif "html" in cols:
-        df = df.withColumn(
-            "text",
-            F.when(F.col("text").isNull(), extract_text_udf(F.col("html"))).otherwise(
-                F.col("text")
-            ),
-        )
+    df = ensure_text(documents)
     if "warc_ts" not in cols:
         df = df.withColumn("warc_ts", F.lit(None).cast("timestamp"))
     if "lang" not in cols:

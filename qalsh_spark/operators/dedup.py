@@ -44,6 +44,7 @@ def token_jaccard_pairs(
     threshold: float = 0.4,
     max_token_df: int = 20,
     id_col: str = "doc_id",
+    persists: list | None = None,
 ) -> DataFrame:
     """Unigram-Jaccard near-dup pairs via an inverted-index self-join.
 
@@ -54,11 +55,17 @@ def token_jaccard_pairs(
     distinct-token sets, so the df filter only affects which pairs are
     *discovered*, mirroring how banding only affects candidate discovery in
     the MinHash lane.  Result: (a, b, jaccard) with a < b.
+
+    `persists`: optional list collecting the cached token stream (consumed
+    by three downstream joins) so the caller can unpersist it once the
+    result is materialized — same contract as candidate_pairs_from_buckets.
     """
     toks = documents.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(F.split(F.lower("text"), " "))).alias("tok"),
     ).filter(F.col("tok") != "").persist()
+    if persists is not None:
+        persists.append(toks)
     sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
     rare = toks.join(
         toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df")),

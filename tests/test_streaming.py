@@ -73,6 +73,47 @@ def test_streaming_exact_dedup(spark, tmp_path):
     assert "/b1/" in by_text["D"]
 
 
+def test_streaming_exact_dedup_html_only_rows(spark, tmp_path):
+    """ADVICE r2: rows arriving with html but NULL text must be keyed on
+    their EXTRACTED text, not on the shared NULL key (which silently dropped
+    every html-only doc after the first)."""
+    import datetime
+
+    import pyarrow as pa
+
+    from qalsh_spark.streaming.incremental import streaming_exact_dedup
+
+    ts = datetime.datetime(2025, 3, 1, 12, 0, 0)
+    htmls = [
+        b"<p>alpha</p>",  # kept
+        b"<p>beta</p>",  # kept: DIFFERENT text, was dropped pre-fix
+        b"<p>alpha</p>",  # dup of row 0: dropped
+    ]
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+    pq.write_table(
+        pa.table(
+            {
+                "url": [f"https://h.example/{i}" for i in range(len(htmls))],
+                "warc_ts": pa.array([ts] * len(htmls), pa.timestamp("us")),
+                "html": pa.array(htmls, pa.binary()),
+                "text": pa.array([None] * len(htmls), pa.string()),
+                "lang": ["en"] * len(htmls),
+            }
+        ),
+        os.path.join(in_dir, "b0.parquet"),
+    )
+    out_dir = str(tmp_path / "out")
+    q = streaming_exact_dedup(spark, in_dir, out_dir, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    rows = spark.read.parquet(out_dir).collect()
+    assert sorted(r["text"] for r in rows) == ["alpha", "beta"]
+    assert {r["url"] for r in rows} == {
+        "https://h.example/0",
+        "https://h.example/1",
+    }
+
+
 def test_incremental_signatures(spark, tmp_path):
     c = generate_corpus(50, seed=7)
     in_dir = str(tmp_path / "in")
