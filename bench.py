@@ -29,6 +29,8 @@ HEADLINE = [
     "lsh_ann_topk",
     "ivf_ann_topk",
     "qalsh_plus_ann_topk",
+    "pstable_ann_topk",
+    "knn_blocked_l2",
     "embedding_neardup_exact",
     "pricing_summary",
     "topk_orders_per_customer",

@@ -12,12 +12,15 @@ Design per the 100 TB posture:
   - Python work (byte statistics, decode) is Arrow-batched `mapInPandas`
     with NumPy vectorization inside the batch — same discipline as the
     signing stage;
-  - actual image/audio DECODE requires codec libraries not present in this
-    environment, so `decode_image_meta` is STUBBED: with `fake=True`
-    (default) it returns a deterministic pseudo-decode derived from the
-    content hash (stable across runs, good enough to exercise schema,
-    partitioning and batch shape); with `fake=False` it attempts a real
-    Pillow decode and raises NotImplementedError when Pillow is absent.
+  - image DECODE is real: `decode_image_meta` parses PNG / BMP / GIF / JPEG
+    headers with a dependency-free pure-Python parser (public file formats:
+    PNG IHDR, BMP BITMAPINFOHEADER, GIF logical screen descriptor, JPEG SOF
+    markers) and upgrades to Pillow automatically when it is installed
+    (mode="auto").  `synth_png` / `synth_bmp` build fully valid minimal
+    image files (stdlib zlib/struct only) so the decode path is exercised
+    end-to-end against real bytes even in this codec-free container.  The
+    former hash-derived stub survives as mode="fake" for pure
+    schema/batching tests.
 """
 
 from __future__ import annotations
@@ -141,29 +144,120 @@ _DECODE_SCHEMA = T.StructType(
 )
 
 
+# --- minimal REAL image encoders (stdlib only) -------------------------------
+
+def synth_png(width: int, height: int, rgb: tuple[int, int, int] = (40, 90, 200)) -> bytes:
+    """Fully valid minimal 8-bit RGB PNG (correct CRCs, zlib IDAT) — real
+    bytes for the decode path without any codec dependency."""
+    import binascii
+    import struct
+    import zlib
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", binascii.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)  # RGB, 8-bit
+    row = b"\x00" + bytes(rgb) * width  # filter 0 per scanline
+    idat = zlib.compress(row * height)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
+def synth_bmp(width: int, height: int, bgr: tuple[int, int, int] = (200, 90, 40)) -> bytes:
+    """Fully valid minimal 24-bit BMP (BITMAPINFOHEADER, 4-byte row pad)."""
+    import struct
+
+    pad = (4 - (3 * width) % 4) % 4
+    row = bytes(bgr) * width + b"\x00" * pad
+    pix = row * height
+    file_header = b"BM" + struct.pack("<IHHI", 54 + len(pix), 0, 0, 54)
+    info_header = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pix), 2835, 2835, 0, 0
+    )
+    return file_header + info_header + pix
+
+
+def parse_image_header(blob: bytes) -> tuple[int, int, int] | None:
+    """Dependency-free (width, height, channels) from PNG / BMP / GIF / JPEG
+    headers; None when the bytes are not a recognized image.  These are
+    public, fixed-layout formats: PNG IHDR (big-endian dims at offset 16,
+    channels from color type), BMP BITMAPINFOHEADER (little-endian at 18),
+    GIF logical screen descriptor (little-endian uint16 at 6), JPEG SOFn
+    marker scan (big-endian dims + component count)."""
+    import struct
+
+    b = bytes(blob)
+    if len(b) >= 26 and b[:8] == b"\x89PNG\r\n\x1a\n" and b[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", b[16:24])
+        color_type = b[25]
+        channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+        if channels is None:
+            return None
+        return int(w), int(h), channels
+    if len(b) >= 30 and b[:2] == b"BM":
+        w, h = struct.unpack("<ii", b[18:26])
+        bpp = struct.unpack("<H", b[28:30])[0]
+        return int(w), abs(int(h)), max(1, bpp // 8)
+    if len(b) >= 10 and b[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", b[6:10])
+        return int(w), int(h), 3
+    if len(b) >= 4 and b[:2] == b"\xff\xd8":
+        # walk JPEG segments to the first SOF0/1/2 frame header
+        i = 2
+        while i + 9 < len(b):
+            if b[i] != 0xFF:
+                return None
+            marker = b[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            seg_len = struct.unpack(">H", b[i + 2 : i + 4])[0]
+            if marker in (0xC0, 0xC1, 0xC2, 0xC3):
+                h, w = struct.unpack(">HH", b[i + 5 : i + 9])
+                return int(w), int(h), b[i + 9]
+            i += 2 + seg_len
+    return None
+
+
 def decode_image_meta(
     media: DataFrame,
     id_col: str = "doc_id",
     content_col: str = "content",
-    fake: bool = True,
+    mode: str = "auto",
+    fake: bool | None = None,
 ) -> DataFrame:
-    """Image decode -> (width, height, channels).
+    """Image decode -> (width, height, channels, decode_ok).
 
-    STUB NOTE: this container has no image codecs.  fake=True (default)
-    derives deterministic pseudo-dimensions from md5(content) — stable
-    across runs/partitionings, so schema/batching/partitioning behavior is
-    fully exercised and testable.  fake=False attempts a real Pillow decode
-    and raises NotImplementedError if Pillow is unavailable; swapping the
-    fake for the real decoder changes NOTHING outside the inner function.
-    """
-    if not fake:
+    mode="auto" (default): use Pillow when installed, else the built-in
+    pure-Python header parser (parse_image_header) — a REAL decode of real
+    bytes either way; unrecognized blobs get decode_ok=False.
+    mode="pillow": require Pillow (NotImplementedError when absent).
+    mode="header": force the dependency-free parser.
+    mode="fake": the legacy deterministic hash-derived stub (kept for pure
+    schema/batch-shape tests).  `fake=True` is a back-compat alias."""
+    if fake is not None:  # legacy kw
+        mode = "fake" if fake else "auto"
+    use_pillow = False
+    if mode in ("auto", "pillow"):
         try:
             import PIL.Image  # noqa: F401
-        except ImportError as e:  # pragma: no cover
-            raise NotImplementedError(
-                "real image decode needs Pillow, which is not installed; "
-                "use fake=True for the deterministic stub"
-            ) from e
+
+            use_pillow = True
+        except ImportError as e:
+            if mode == "pillow":
+                raise NotImplementedError(
+                    "mode='pillow' needs Pillow, which is not installed; "
+                    "mode='auto' falls back to the built-in header parser"
+                ) from e
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io
@@ -180,13 +274,13 @@ def decode_image_meta(
             for i, blob in enumerate(pdf[content_col].to_numpy()):
                 if blob is None or len(blob) == 0:
                     continue
-                if fake:
+                if mode == "fake":
                     d = hashlib.md5(bytes(blob)).digest()
                     out["width"][i] = 64 + d[0] * 8
                     out["height"][i] = 64 + d[1] * 8
                     out["channels"][i] = 1 + (d[2] % 4)
                     out["decode_ok"][i] = True
-                else:  # pragma: no cover (no codec in-container)
+                elif use_pillow:  # pragma: no cover (no codec in-container)
                     import PIL.Image
 
                     try:
@@ -197,6 +291,11 @@ def decode_image_meta(
                         out["decode_ok"][i] = True
                     except Exception:
                         out["decode_ok"][i] = False
+                else:
+                    meta = parse_image_header(bytes(blob))
+                    if meta is not None:
+                        out["width"][i], out["height"][i], out["channels"][i] = meta
+                        out["decode_ok"][i] = True
             yield pd.DataFrame(out)
 
     narrow = media.select(F.col(id_col).alias("doc_id"), F.col(content_col))

@@ -270,6 +270,117 @@ def srp_band_keys_matrix(
     return out.view(np.int64)
 
 
+# --- p-stable projection lane (the reference's actual hash family) -----------
+
+def pstable_planes(m: int, d: int, p: float = 2.0, seed: int = 6) -> np.ndarray:
+    """Seeded (m, d) p-stable coefficient matrix using the reference's
+    distributions (/root/reference/methods/qalsh.h:238-244: Levy(1,0) for
+    p=0.5, Cauchy(1,0) for p=1, N(0,1) for p=2; general p in (0,2) via the
+    Chambers–Mallows–Stuck construction, the published standard the
+    reference's p_stable() also implements)."""
+    rng = np.random.default_rng([seed, int(p * 1000), 0x9A15])
+    if p == 2.0:
+        return rng.standard_normal((m, d))
+    if p == 1.0:
+        return rng.standard_cauchy((m, d))
+    if p == 0.5:
+        g = rng.standard_normal((m, d))
+        g = np.where(np.abs(g) < 1e-12, 1e-12, g)
+        return 1.0 / (g * g)  # Levy(1,0) = 1 / N(0,1)^2
+    theta = rng.uniform(-np.pi / 2, np.pi / 2, (m, d))
+    wexp = rng.exponential(1.0, (m, d))
+    return (
+        np.sin(p * theta)
+        / np.cos(theta) ** (1.0 / p)
+        * (np.cos((1.0 - p) * theta) / wexp) ** ((1.0 - p) / p)
+    )
+
+
+def pstable_offsets(m: int, w: float, seed: int = 6) -> np.ndarray:
+    """Seeded uniform [0, w) per-projection offsets.  The reference needs
+    none (its bucket is anchored at the query at search time, "query-aware",
+    methods/qalsh.h:118-120); a batch floor-grid bucketization re-adds the
+    classic E2LSH offset so the grid is unbiased w.r.t. the origin."""
+    rng = np.random.default_rng([seed, 0x0FF5])
+    return rng.uniform(0.0, w, m)
+
+
+def pstable_w(c: float, p: float) -> float:
+    """The reference's auto-tuned bucket width (unit query radius) that
+    minimizes m (/root/reference/methods/qalsh.h:197-226): closed forms for
+    p in {0.5, 1, 2}, published constants / linear interpolation otherwise.
+    Scale by the target near-neighbor radius to get the working w."""
+    import math
+
+    w0 = (c - 1.0) / math.log(math.sqrt(c))
+    w1 = 2.0 * math.sqrt(c)
+    w2 = math.sqrt((8.0 * c * c * math.log(c)) / (c * c - 1.0))
+    if abs(p - 0.5) < 1e-6:
+        return w0
+    if abs(p - 1.0) < 1e-6:
+        return w1
+    if abs(p - 2.0) < 1e-6:
+        return w2
+    if abs(p - 0.8) < 1e-6:
+        return 2.503
+    if abs(p - 1.2) < 1e-6:
+        return 3.151
+    if abs(p - 1.5) < 1e-6:
+        return 3.465
+    return (w2 - w1) * p + (2.0 * w1 - w2)
+
+
+def pstable_collision_prob(
+    p: float, t: float, n_samples: int = 200_000, seed: int = 6
+) -> float:
+    """P(two points at l_p distance r land in the same floor-quantized cell
+    of width w), t = w/r — the E2LSH closed form E[max(0, 1 - |a|/t)] over
+    a ~ p-stable, estimated by seeded Monte Carlo exactly like the
+    reference does for general p (new_stable_prob,
+    /root/reference/methods/random.cc — it integrates the same family
+    numerically; MC keeps one code path for every p)."""
+    a = np.abs(pstable_planes(1, n_samples, p, seed)[0])
+    return float(np.clip(1.0 - a / t, 0.0, 1.0).mean())
+
+
+def pstable_alpha(p: float, t1: float, c: float = 2.0) -> float:
+    """The reference's collision-count threshold fraction alpha such that
+    l = ceil(alpha*m) (/root/reference/methods/qalsh.h:228-236):
+    alpha = (eta*p1 + p2) / (1 + eta), eta = sqrt(ln(2/beta)/ln(1/delta)),
+    with the reference's defaults beta = CANDIDATES/n ~ 0.01 and
+    delta = 1/e; p1 = collision prob at the target radius (t1 = w/r),
+    p2 = at c*r."""
+    import math
+
+    p1 = pstable_collision_prob(p, t1)
+    p2 = pstable_collision_prob(p, t1 / c)
+    eta = math.sqrt(math.log(2.0 / 0.01) / math.log(math.e))
+    return (eta * p1 + p2) / (1.0 + eta)
+
+
+def pstable_band_keys_matrix(
+    X: np.ndarray,
+    planes: np.ndarray,
+    offsets: np.ndarray,
+    w: float,
+    bands: int,
+    rows: int,
+) -> np.ndarray:
+    """(n, d) float matrix -> (n, bands) int64 quantized p-stable band keys:
+    cell_i = floor((a_i . x + b_i) / w), each band's `rows` cells fold into
+    one mixed 64-bit key (same fold discipline as band_hashes_matrix, band
+    index mixed in so cross-band keys never collide)."""
+    n = X.shape[0]
+    cells = np.floor((X @ planes.T + offsets[None, :]) / w).astype(np.int64)
+    cc = cells.view(np.uint64).reshape(n, bands, rows)
+    with np.errstate(over="ignore"):
+        h = np.full((n, bands), _M1, dtype=np.uint64)
+        for j in range(rows):
+            h = (h ^ cc[:, :, j]) * _M2
+        h ^= (np.arange(bands, dtype=np.uint64) + np.uint64(1)) * _M4
+    return _mix64(h).view(np.int64)
+
+
 # --- Drusilla representative sampling (QALSH+ block sketches) ----------------
 
 DRUSILLA_ANGLE = np.pi / 8.0  # close-angle suppression threshold

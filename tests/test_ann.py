@@ -245,3 +245,22 @@ def test_ann_recall_sweep_shape(spark, emb_df):
     for r in rows:
         assert 0.0 <= r["avg_recall"] <= 1.0
         assert r["n_queries"] == 5
+
+
+def test_ann_sweep_overall_ratio(spark, emb_df):
+    """The reference's second headline metric (calc_ratio,
+    /root/reference/methods/util.cc:81-91): avg over ranks i<=k of
+    approx_ith_dist / exact_ith_dist.  It is >= 1 by construction (the
+    approx ith-smallest can never beat the exact ith-smallest) and must
+    stay within the reference's c = 2 guarantee on the SRP lane here."""
+    from qalsh_spark.queries import ann_recall_sweep
+
+    queries = emb_df.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    approx = lsh_topk(emb_df, queries, k=100, m=32, bands=8)
+    rows = ann_recall_sweep(emb_df, queries, approx).collect()
+    for r in rows:
+        assert r["avg_ratio"] is not None, r
+        assert r["avg_ratio"] >= 1.0 - 1e-6, r
+        assert r["avg_ratio"] <= 2.0, f"ratio guarantee violated: {r}"

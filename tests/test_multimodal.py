@@ -102,15 +102,17 @@ def test_byte_stats_match_numpy(media):
 
 def test_fake_decode_deterministic(media):
     a = {r["doc_id"]: (r["width"], r["height"], r["channels"])
-         for r in decode_image_meta(media, content_col="content").collect()}
+         for r in decode_image_meta(media, content_col="content", mode="fake").collect()}
     b = {r["doc_id"]: (r["width"], r["height"], r["channels"])
-         for r in decode_image_meta(media.repartition(4), content_col="content").collect()}
+         for r in decode_image_meta(
+             media.repartition(4), content_col="content", mode="fake"
+         ).collect()}
     assert a == b  # stable across partitionings
     assert all(64 <= w <= 64 + 255 * 8 for (w, _, _) in
                [v for k, v in a.items() if k not in (10, 11)])
 
 
-def test_real_decode_raises_without_pillow(media):
+def test_pillow_mode_raises_without_pillow(media):
     try:
         import PIL  # noqa: F401
 
@@ -118,4 +120,65 @@ def test_real_decode_raises_without_pillow(media):
     except ImportError:
         pass
     with pytest.raises(NotImplementedError):
-        decode_image_meta(media, content_col="content", fake=False)
+        decode_image_meta(media, content_col="content", mode="pillow")
+
+
+def test_header_parser_real_formats():
+    """The dependency-free parser must read back the exact dimensions of
+    fully valid synthesized PNG/BMP files, GIF and JPEG headers, and reject
+    junk."""
+    import struct
+
+    from qalsh_spark.functions.multimodal import (
+        parse_image_header,
+        synth_bmp,
+        synth_png,
+    )
+
+    assert parse_image_header(synth_png(33, 21)) == (33, 21, 3)
+    assert parse_image_header(synth_bmp(47, 17)) == (47, 17, 3)
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00\x00\x00"
+    assert parse_image_header(gif) == (320, 200, 3)
+    # minimal JPEG: SOI + APP0 segment + SOF0 frame header
+    app0 = b"\xff\xe0" + struct.pack(">H", 4) + b"JF"
+    sof0 = b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" + struct.pack(
+        ">HH", 99, 123
+    ) + b"\x03"
+    assert parse_image_header(b"\xff\xd8" + app0 + sof0) == (123, 99, 3)
+    assert parse_image_header(b"not an image at all") is None
+    assert parse_image_header(b"") is None
+
+
+def test_real_decode_end_to_end(spark):
+    """Spark-side decode of REAL (fully valid) image bytes: synthesized
+    PNG/BMP blobs come back with their true dimensions; junk rows get
+    decode_ok=False."""
+    from qalsh_spark.functions.multimodal import synth_bmp, synth_png
+
+    rows = [
+        (0, bytearray(synth_png(20, 10))),
+        (1, bytearray(synth_bmp(31, 7))),
+        (2, bytearray(b"\x89PNG truncated")),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    got = {
+        r["doc_id"]: (r["width"], r["height"], r["channels"], r["decode_ok"])
+        for r in decode_image_meta(df, content_col="content").collect()
+    }
+    assert got[0] == (20, 10, 3, True)
+    assert got[1] == (31, 7, 3, True)
+    assert got[2][3] is False and got[3][3] is False
+
+
+def test_pillow_parity_when_available():
+    """When Pillow IS installed the auto path must agree with the header
+    parser on the synthesized files (skip-marked otherwise)."""
+    PIL = pytest.importorskip("PIL.Image")
+    import io
+
+    from qalsh_spark.functions.multimodal import parse_image_header, synth_bmp, synth_png
+
+    for blob in (synth_png(24, 12), synth_bmp(13, 9)):
+        img = PIL.open(io.BytesIO(blob))
+        assert parse_image_header(blob) == (img.width, img.height, len(img.getbands()))
