@@ -100,6 +100,17 @@ def candidate_pairs_from_buckets(
     cap = _cap_expr(bucket_cap)
     sz = F.col("bucket_size")
 
+    # The slim bucket stream feeds three consumers (sizes aggregate, small-
+    # bucket collect, hot-bucket star join); persist it once so upstream
+    # (signature explode / Python signing in standalone lanes) is never
+    # re-executed per consumer.  Same cache volume the former single-pass
+    # design spent on its `grouped` aggregate (one row per bucket, member
+    # arrays ~ the stream), but rows here are fixed-width — MEMORY_AND_DISK
+    # spills cleanly at any scale.
+    buckets = buckets.persist()
+    if persists is not None:
+        persists.append(buckets)
+
     # Pass 1 — slim (size, hub) row per bucket.  Fixed-width aggregation
     # state (two scalars), map-side partial combine: safe for ANY bucket
     # size, and its exchange carries (key, count, min) partial rows — the
