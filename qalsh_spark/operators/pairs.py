@@ -125,10 +125,24 @@ def candidate_pairs_from_buckets(
     )
     if persists is not None:
         persists.append(sizes)
+    # EAGER materialization, exactly once: the hot table is broadcast into
+    # TWO joins below, and Spark launches each broadcast build as its own
+    # concurrent future — without this count() both futures would race to
+    # materialize the buckets+sizes caches, running the upstream (signing,
+    # explode) twice CONCURRENTLY and doubling peak memory (measured: the
+    # duplicated materialization at a 4M-doc corpus pushed the JVM to 71 GB
+    # anon-rss on a 24 GB heap and the kernel OOM-killed it).  One
+    # sequential pass here; every later consumer reads cache.
+    sizes.count()
     # Hot buckets = the over-cap tail of the size distribution — rare by
     # construction (cardinality surfaced in bucket_stats.n_hot_buckets), so
-    # the key table broadcasts.
-    hot = F.broadcast(sizes.filter(sz > cap).select("band_key", "lane_id", "hub"))
+    # the key table broadcasts.  localCheckpoint (eager, reads the warm
+    # sizes cache, a few rows) so the two broadcast builds below scan a
+    # materialized tiny RDD instead of each re-running the filter over the
+    # cached aggregate.
+    hot = F.broadcast(
+        sizes.filter(sz > cap).select("band_key", "lane_id", "hub").localCheckpoint()
+    )
 
     # Pass 2a — small buckets (2 <= size <= cap): members of hot buckets are
     # removed by a MAP-SIDE broadcast anti-join BEFORE the collect_list's

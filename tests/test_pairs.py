@@ -83,9 +83,10 @@ def test_per_lane_caps_and_cross_lane_dedup(spark):
 
 def test_pairs_plan_shape(spark):
     """Plan pins for the two-pass skew design:
-    - exactly TWO exchanges keyed on the bucket stream (partial-agg sizes +
-      anti-joined collect buffers) — a third means a consumer re-exchanged
-      the highest-volume stream;
+    - the (size, hub) pass runs EAGERLY at operator build (exactly once —
+      the two broadcast builds must never race to re-materialize it), so
+      the returned pairs plan contains exactly ONE exchange keyed on the
+      bucket stream: the anti-joined collect buffers;
     - the hot-member anti-join is a BroadcastHashJoin BELOW the partial
       collect_list (map-side: the shuffle never carries hot members);
     - the star lane is broadcast-joined with NO exchange of the big side."""
@@ -99,7 +100,7 @@ def test_pairs_plan_shape(spark):
             r"Exchange hashpartitioning\(band_key[^\n]*?\[plan_id=(\d+)\]", plan
         )
     )
-    assert len(ids) == 2, plan
+    assert len(ids) == 1, plan
     assert "LeftAnti, BuildRight" in plan, plan
     # anti-join feeds the PARTIAL collect_list (same stage, no exchange
     # between them): the partial agg must appear above the anti-join and
