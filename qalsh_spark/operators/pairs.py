@@ -83,6 +83,7 @@ def candidate_pairs_from_buckets(
     bucket_cap: int | dict[str, int] = 64,
     dedup: bool = True,
     persists: list | None = None,
+    cache_buckets: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """buckets(doc_id, lane_id, band_key) ->
     (pairs(a, b, lane_id) deduped, bucket_stats).
@@ -101,45 +102,40 @@ def candidate_pairs_from_buckets(
     sz = F.col("bucket_size")
 
     # The slim bucket stream feeds three consumers (sizes aggregate, small-
-    # bucket collect, hot-bucket star join); persist it once so upstream
-    # (signature explode / Python signing in standalone lanes) is never
-    # re-executed per consumer.  Same cache volume the former single-pass
-    # design spent on its `grouped` aggregate (one row per bucket, member
-    # arrays ~ the stream), but rows here are fixed-width — MEMORY_AND_DISK
-    # spills cleanly at any scale.
-    buckets = buckets.persist()
-    if persists is not None:
-        persists.append(buckets)
+    # bucket collect, hot-bucket star join).  Standalone lanes (bare
+    # signing -> buckets) persist it so the Python signing stage never
+    # re-executes per consumer; the PIPELINE passes cache_buckets=False
+    # because its signatures stage is already checkpointed/cached — there
+    # the recompute is a cheap cache-scan + explode, and skipping this
+    # cache keeps leg-scale memory at the round-2 envelope (measured at a
+    # 4M-doc corpus: cache spill lands on the tmpfs scratch dir, i.e. RAM —
+    # an extra ~25 GB here pushed total scratch to 99 GB and the kernel
+    # OOM-killed the JVM).
+    if cache_buckets:
+        buckets = buckets.persist()
+        if persists is not None:
+            persists.append(buckets)
 
     # Pass 1 — slim (size, hub) row per bucket.  Fixed-width aggregation
     # state (two scalars), map-side partial combine: safe for ANY bucket
     # size, and its exchange carries (key, count, min) partial rows — the
     # price of knowing which buckets are hot BEFORE anything buffers them.
-    sizes = (
-        buckets.groupBy("band_key", "lane_id")
-        .agg(
-            F.count("*").alias("bucket_size"),
-            F.min("doc_id").alias("hub"),
-        )
-        .persist()
+    sizes = buckets.groupBy("band_key", "lane_id").agg(
+        F.count("*").alias("bucket_size"),
+        F.min("doc_id").alias("hub"),
     )
-    if persists is not None:
-        persists.append(sizes)
-    # EAGER materialization, exactly once: the hot table is broadcast into
-    # TWO joins below, and Spark launches each broadcast build as its own
-    # concurrent future — without this count() both futures would race to
-    # materialize the buckets+sizes caches, running the upstream (signing,
-    # explode) twice CONCURRENTLY and doubling peak memory (measured: the
-    # duplicated materialization at a 4M-doc corpus pushed the JVM to 71 GB
-    # anon-rss on a 24 GB heap and the kernel OOM-killed it).  One
-    # sequential pass here; every later consumer reads cache.
-    sizes.count()
     # Hot buckets = the over-cap tail of the size distribution — rare by
     # construction (cardinality surfaced in bucket_stats.n_hot_buckets), so
-    # the key table broadcasts.  localCheckpoint (eager, reads the warm
-    # sizes cache, a few rows) so the two broadcast builds below scan a
-    # materialized tiny RDD instead of each re-running the filter over the
-    # cached aggregate.
+    # the tiny key table broadcasts.  localCheckpoint is EAGER and is the
+    # ONLY pass-1 materialization: the hot table feeds TWO broadcast joins
+    # below, and Spark launches each broadcast build as its own concurrent
+    # future — left lazy, both futures would race to materialize the same
+    # upstream, running signing/explode twice CONCURRENTLY and doubling
+    # peak memory (measured: the duplicated materialization at 4M docs
+    # pushed the JVM to 71 GB anon-rss on a 24 GB heap; kernel OOM-kill).
+    # Nothing multi-GB is cached: the size aggregate itself stays a lazy
+    # plan (its shuffle files are transient) and only the few hot rows
+    # materialize.
     hot = F.broadcast(
         sizes.filter(sz > cap).select("band_key", "lane_id", "hub").localCheckpoint()
     )
@@ -174,7 +170,9 @@ def candidate_pairs_from_buckets(
         pairs = pairs.dropDuplicates(["a", "b", "lane_id"])
 
     # stats: one slim row per bucket — partial agg collapses to the 3
-    # lanes map-side, so the stats shuffle is a handful of rows
+    # lanes map-side, so the stats shuffle is a handful of rows.  The sizes
+    # plan is NOT cached (see above), so consuming stats re-runs its
+    # exchange — stats is a diagnostic read at most once per run.
     per_bucket = sizes.withColumn("cap", cap)
     stats = (
         per_bucket.groupBy("lane_id")

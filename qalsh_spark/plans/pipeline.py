@@ -112,8 +112,13 @@ class DedupPipeline:
         }
         if self.enable_suffix:
             caps["suffix"] = SUFFIX_BUCKET_CAP
+        # cache_buckets=False: signatures are stage-cached/checkpointed, so
+        # each pair-generation consumer re-derives the bucket stream with a
+        # cheap cache-scan + explode instead of pinning a second multi-GB
+        # cache (whose spill would land on the tmpfs scratch = RAM).
         return candidate_pairs_from_buckets(
-            self.buckets(signatures), caps, persists=persists
+            self.buckets(signatures), caps, persists=persists,
+            cache_buckets=False,
         )
 
     def verify(
@@ -151,7 +156,8 @@ class DedupPipeline:
             ),
         )
         pairs2, _stats = candidate_pairs_from_buckets(
-            buckets, self.cfg.bucket_cap, persists=persists
+            buckets, self.cfg.bucket_cap, persists=persists,
+            cache_buckets=False,  # signatures stage-cached, same as above
         )
         return pairs2
 
