@@ -991,7 +991,11 @@ def _adapted_docs(spark, sf_dir):
 
 
 def q_minhash_dedup_clusters(spark, sf_dir):
-    """Flagship: full MinHash+SimHash+suffix dedup pipeline -> clusters.
+    """Flagship: full MinHash+SimHash+suffix dedup pipeline -> clusters,
+    golden-oracle checked (the oracle is tests/oracle.run_oracle — the
+    independent single-process union-find implementation the pipeline-parity
+    pytest already holds the engine to exactly — frozen per corpus by
+    scripts/make_golden.build_clusters).
     The small final table is localCheckpoint-materialized so every
     intermediate stage cache can be released immediately (no lingering
     cached blocks after the query — cache hygiene for long sessions)."""
@@ -1030,6 +1034,26 @@ SQL_SUBSTRING_PAIRS = f"""
 SELECT a, b, lane
 FROM read_parquet('/root/repo/golden/substring_pairs.parquet')
 WHERE corpus_fp = {_CORPUS_FP_SQL}
+"""
+
+SQL_MINHASH_DEDUP_CLUSTERS = f"""
+SELECT doc_id, cluster_id, cluster_size
+FROM read_parquet('/root/repo/golden/minhash_dedup_clusters.parquet')
+WHERE corpus_fp = {_CORPUS_FP_SQL}
+"""
+
+# Embedding-table fingerprint: DuckDB's array_to_string and numpy's float32
+# repr both emit shortest-round-trip decimals, so this is byte-identical to
+# scripts/make_golden.embeddings_fp (verified at every sf dir).
+_EMB_FP_SQL = (
+    "(SELECT md5(string_agg(vec_id || '|' || array_to_string(embedding, ','), "
+    "chr(1) ORDER BY vec_id)) FROM embeddings)"
+)
+
+SQL_EMBEDDING_NEAR_DUP = f"""
+SELECT a, b, cos
+FROM read_parquet('/root/repo/golden/embedding_near_dup.parquet')
+WHERE emb_fp = {_EMB_FP_SQL}
 """
 
 
@@ -1132,10 +1156,14 @@ def q_pstable_ann_topk(spark, sf_dir):
 
 
 def q_embedding_near_dup(spark, sf_dir):
-    """Rows-only (LSH discovery is not SQL-expressible): SRP-bucketed
-    near-dup pairs.  Threshold 0.4 matches embedding_neardup_exact so the
-    two queries bound each other: this result is a recall-bounded subset of
-    the exact one (pytest asserts the recall floor on planted data).
+    """SRP-bucketed near-dup pairs, golden-oracle checked (LSH discovery is
+    not directly SQL-expressible, so the oracle is the frozen single-process
+    replication in scripts/make_golden.build_neardup — same SRP kernel, a
+    bit-exact NumPy twin of the JVM cosine verify, keyed by an
+    embeddings-content fingerprint).  Threshold 0.4 matches
+    embedding_neardup_exact so the two queries bound each other: this result
+    is a recall-bounded subset of the exact one (pytest asserts the recall
+    floor on planted data).
     (m=24, bands=8, rows=3: band collision ~0.90 at cos 0.4 — the driver
     testdata has no true near-dups, so the threshold sits where pairs
     exist; real dedup runs use the default 0.98.)"""
@@ -1230,4 +1258,6 @@ ORACLE_SQL: dict[str, str] = {
     "minhash_signatures": SQL_MINHASH_SIGNATURES,
     "simhash_hamming_pairs": SQL_SIMHASH_HAMMING_PAIRS,
     "substring_pairs": SQL_SUBSTRING_PAIRS,
+    "minhash_dedup_clusters": SQL_MINHASH_DEDUP_CLUSTERS,
+    "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
 }

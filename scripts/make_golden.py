@@ -1,5 +1,6 @@
 """Generate golden oracle parquets for the non-SQL-expressible driver rows
-(minhash_signatures / simhash_hamming_pairs / substring_pairs).
+(minhash_signatures / simhash_hamming_pairs / substring_pairs /
+minhash_dedup_clusters / embedding_near_dup).
 
 The reference persists its exact ground truth as binary artifacts
 (write_ground_truth, /root/reference/methods/util.cc:63-78) and every later
@@ -49,6 +50,122 @@ def load_docs(sf_dir: str):
     orig = t["doc_id"].to_numpy()[order]
     texts = np.asarray(t["text"].to_pylist(), dtype=object)[order]
     return orig, [x or "" for x in texts]
+
+
+def embeddings_fp(sf_dir: str) -> tuple[str, np.ndarray, np.ndarray]:
+    """(fingerprint, vec_ids, float32 matrix) for the embeddings table.
+
+    The fingerprint is md5 over `vec_id|<csv of elements>` rows joined by
+    chr(1) in vec_id order; DuckDB's `array_to_string(embedding, ',')` and
+    numpy's float32 repr both emit shortest-round-trip decimals, so the SQL
+    twin `md5(string_agg(vec_id || '|' || array_to_string(embedding, ','),
+    chr(1) ORDER BY vec_id))` is byte-identical (verified at every sf)."""
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    ids = t["vec_id"].to_numpy()
+    order = np.argsort(ids, kind="stable")
+    ids = ids[order]
+    emb = np.stack(
+        [
+            np.asarray(v, dtype=np.float32)
+            for v in np.asarray(t["embedding"].to_pylist(), dtype=object)[order]
+        ]
+    )
+    parts = [
+        f"{int(i)}|" + ",".join(repr(np.float32(x)) for x in v)
+        for i, v in zip(ids, emb)
+    ]
+    return hashlib.md5(FP_DELIM.join(parts).encode()).hexdigest(), ids, emb
+
+
+def _spark_round(x: float, scale: int = 4) -> float:
+    """Replicates Spark's F.round on a double: BigDecimal.valueOf(d) uses
+    Double.toString's shortest round-trip repr (== Python repr), then
+    setScale(scale, HALF_UP)."""
+    import decimal
+
+    return float(
+        decimal.Decimal(repr(x)).quantize(
+            decimal.Decimal(1).scaleb(-scale), rounding=decimal.ROUND_HALF_UP
+        )
+    )
+
+
+def _dot_spark(a32: np.ndarray, b32: np.ndarray) -> float:
+    """Replicates operators/ann._dot over array<float> columns bit-for-bit:
+    zip_with's x*y multiplies in FLOAT (float32 rounding per product), then
+    the aggregate fold accumulates left-to-right into a DOUBLE."""
+    acc = 0.0
+    for p in a32 * b32:  # float32 elementwise products
+        acc += float(p)
+    return acc
+
+
+def build_neardup(sf_dir: str, threshold=0.4, m=24, bands=8, seed=6) -> pa.Table:
+    """Golden for q_embedding_near_dup: same SRP kernel call as the Spark
+    UDF (kernels.srp_band_keys_matrix on float64), same cap-free bucket
+    pairing, and a bit-exact replication of the JVM cosine verify
+    (float32 products + left-to-right double fold + HALF_UP round-4).
+    Verified exact-equal to the live Spark output at every sf dir."""
+    fp, ids, emb32 = embeddings_fp(sf_dir)
+    X = emb32.astype(np.float64)
+    planes = K.srp_planes(m, X.shape[1], seed)
+    keys = K.srp_band_keys_matrix(X, planes, bands, m // bands)
+    buckets: dict[int, list[int]] = {}
+    for i, row in enumerate(keys):
+        for key in row.tolist():
+            buckets.setdefault(key, []).append(int(ids[i]))
+    idx = {int(v): i for i, v in enumerate(ids)}
+    cand: set[tuple[int, int]] = set()
+    for members in buckets.values():
+        ms = sorted(set(members))
+        for x in range(len(ms)):
+            for y in range(x + 1, len(ms)):
+                cand.add((ms[x], ms[y]))
+    rows = []
+    for a, b in sorted(cand):
+        va, vb = emb32[idx[a]], emb32[idx[b]]
+        num = _dot_spark(va, vb)
+        den = np.sqrt(_dot_spark(va, va)) * np.sqrt(_dot_spark(vb, vb))
+        cos = num / den
+        if cos >= threshold:
+            rows.append((a, b, _spark_round(cos, 4)))
+    return pa.table(
+        {
+            "emb_fp": [fp] * len(rows),
+            "a": pa.array([r[0] for r in rows], pa.int64()),
+            "b": pa.array([r[1] for r in rows], pa.int64()),
+            "cos": pa.array([r[2] for r in rows], pa.float64()),
+        }
+    )
+
+
+def build_clusters(sf_dir: str, cfg: DedupConfig) -> pa.Table:
+    """Golden for the flagship q_minhash_dedup_clusters: the full
+    single-process union-find oracle (tests/oracle.run_oracle — the same
+    code the pipeline-parity pytest already holds the engine to exactly),
+    frozen as (doc_id, cluster_id, cluster_size) keyed by corpus_fp."""
+    import collections
+
+    from tests.oracle import run_oracle
+
+    orig, texts = load_docs(sf_dir)
+    fp = corpus_fp(list(texts))
+    urls = [f"synthetic://doc/{int(o)}" for o in orig]
+    res = run_oracle(urls, texts, cfg)
+    sizes = collections.Counter(res.clusters.values())
+    doc_ids = sorted(res.clusters)
+    return pa.table(
+        {
+            "corpus_fp": [fp] * len(doc_ids),
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "cluster_id": pa.array([res.clusters[d] for d in doc_ids], pa.int64()),
+            "cluster_size": pa.array(
+                [sizes[res.clusters[d]] for d in doc_ids], pa.int64()
+            ),
+        }
+    )
 
 
 def pairs_with_cap(buckets: dict, cap: int) -> set[tuple[int, int]]:
@@ -150,6 +267,8 @@ def main() -> None:
             print(f"skip {sf} (absent)")
             continue
         tables = build(sf, cfg)
+        tables["minhash_dedup_clusters"] = build_clusters(sf, cfg)
+        tables["embedding_near_dup"] = build_neardup(sf)
         for name, t in tables.items():
             acc.setdefault(name, []).append(t)
         print(f"{sf}: " + ", ".join(f"{k}={v.num_rows}" for k, v in tables.items()))
