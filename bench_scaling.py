@@ -314,20 +314,32 @@ def finalize(args) -> None:
     the ledger and is printed in the report — nothing is discarded, the
     protocol is auditable."""
     runs = [json.loads(l) for l in open(LEDGER) if l.strip()]
-    # The headline pair must compare the SAME code: restrict to entries from
-    # the current git rev (every leg records git_rev).  Older-rev rows stay
-    # in the ledger table for the audit trail but cannot be paired.
-    head = subprocess.run(
-        ["git", "rev-parse", "--short", "HEAD"], capture_output=True,
-        text=True, cwd=REPO,
-    ).stdout.strip()
+    # The headline pair must compare the SAME code: both legs must carry the
+    # SAME recorded git_rev (every leg stamps the rev it ran at).  Among revs
+    # with both levels present at the gate corpus, the NEWEST one (latest
+    # ledger appearance) wins — so a finalize run after unrelated doc/test
+    # commits still pairs the most recent measured code instead of failing.
     # Rows lacking git_rev are NON-pairable (older harness versions didn't
-    # stamp the sweep path) — defaulting them to head would let stale-code
-    # legs into the headline pair.
-    gate = [
-        r for r in runs
-        if r["n_docs_corpus"] == args.docs and r.get("git_rev") == head
+    # stamp the sweep path) — defaulting them would let stale-code legs in.
+    at_docs = [r for r in runs if r["n_docs_corpus"] == args.docs and r.get("git_rev")]
+    rev_levels: dict[str, set[int]] = {}
+    rev_order: list[str] = []
+    for r in at_docs:
+        rev = r["git_rev"]
+        if rev not in rev_levels:
+            rev_order.append(rev)
+        rev_levels.setdefault(rev, set()).add(r["cores"])
+    pairable = [
+        rev for rev in rev_order
+        if {args.low, args.high} <= rev_levels[rev]
     ]
+    if not pairable:
+        raise SystemExit(
+            f"ledger has no single rev with both levels {args.low}/{args.high} "
+            f"at {args.docs}"
+        )
+    pair_rev = pairable[-1]
+    gate = [r for r in at_docs if r["git_rev"] == pair_rev]
     by_level: dict[int, list[dict]] = {}
     for r in gate:
         by_level.setdefault(r["cores"], []).append(r)
@@ -387,7 +399,8 @@ def finalize(args) -> None:
         # A PASS requires the host-phase bias to not be inflating the
         # number; an understating bias keeps a PASS valid (lower bound).
         "pass": efficiency >= 0.8 and not overstated,
-        "protocol": "min wall per level over repeated runs (ledger below)",
+        "pair_git_rev": pair_rev,
+        "protocol": "min wall per level over repeated same-rev runs (ledger below)",
         "runs": [
             {
                 "cores": r["cores"],
@@ -402,7 +415,7 @@ def finalize(args) -> None:
     }
     # fixed/linear decomposition from min walls at every corpus size with
     # both levels present
-    cur = [r for r in runs if r.get("git_rev") == head]
+    cur = [r for r in runs if r.get("git_rev") == pair_rev]
     for n in sorted({r["n_docs_corpus"] for r in cur}):
         ls = [r for r in cur if r["n_docs_corpus"] == n and r["cores"] == args.low]
         hs = [r for r in cur if r["n_docs_corpus"] == n and r["cores"] == args.high]
