@@ -96,7 +96,24 @@ def cpu_probe(procs: int, dur: float = 20.0) -> dict:
     return out
 
 
+def _clean_scratch() -> None:
+    """Remove leftover shuffle scratch from a previous (possibly OOM-killed)
+    leg.  A kernel-killed JVM never deletes its blockmgr-* dirs; on tmpfs
+    that is RAM held hostage, and the NEXT leg inherits a box already ~100 GB
+    down (measured: a stale 99 GB blockmgr starved the following leg).  Legs
+    are measured exclusively — no other Spark job may run concurrently — so
+    everything under the scratch roots is garbage by protocol."""
+    import shutil
+
+    roots = os.environ.get(
+        "QALSH_LOCAL_DIR", "/dev/shm/qalsh-spark-scratch,/tmp/qalsh-spark-scratch"
+    )
+    for root in roots.split(","):
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def run_level(corpus: str, cpus: int) -> dict:
+    _clean_scratch()
     cmd = [
         sys.executable,
         os.path.join(REPO, "jobs", "dedup.py"),

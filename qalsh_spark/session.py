@@ -38,11 +38,16 @@ def get_spark(
     # of local-disk bandwidth, but every "executor thread" of a local[k] run
     # shares this host's ONE disk — making shuffle I/O a core-count-
     # independent floor that misrepresents cluster scaling.  Default the
-    # scratch dir to tmpfs when available (the sandbox has 128 GB RAM);
-    # override with QALSH_LOCAL_DIR.
+    # scratch to tmpfs when available, PLUS a real-disk overflow dir: Spark
+    # round-robins blocks across local.dir entries, so tmpfs (RAM) holds
+    # only ~half the shuffle bytes and a leg-scale run can no longer push
+    # heap + scratch past physical RAM (measured: the 4M-doc gate corpus
+    # wrote ~99 GB of lz4 scratch; all-tmpfs + a 24 GB local[8] heap got
+    # the JVM kernel-OOM-killed).  Override with QALSH_LOCAL_DIR (comma-
+    # separated list passes through verbatim).
     local_dir = os.environ.get("QALSH_LOCAL_DIR")
     if local_dir is None and os.path.isdir("/dev/shm"):
-        local_dir = "/dev/shm/qalsh-spark-scratch"
+        local_dir = "/dev/shm/qalsh-spark-scratch,/tmp/qalsh-spark-scratch"
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -62,6 +67,19 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("QALSH_DRIVER_MEM", "8g"))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # zstd shuffle/spill compression: ~2-3x smaller scratch than the
+        # lz4 default on the engine's dominant shuffle payloads (band-key
+        # bucket rows, signature arrays) for a modest CPU cost that is
+        # per-byte, hence parallelism-neutral.  At 100 TB this is the
+        # difference between shuffle fitting on executor local disks or
+        # not; here it halves the tmpfs footprint (see local_dir note).
+        .config("spark.io.compression.codec", "zstd")
+        # Reclaim shuffle files of dereferenced plans DURING long runs, not
+        # only at the default 30-min mark: the dedup pipeline drops its
+        # reference to each stage's pre-checkpoint plan once the stage is
+        # materialized, but the shuffle files back it until a driver GC
+        # lets the ContextCleaner notice.
+        .config("spark.cleaner.periodicGC.interval", "5min")
         .config("spark.ui.enabled", os.environ.get("QALSH_SPARK_UI", "false"))
         .config("spark.sql.session.timeZone", "UTC")
     )
