@@ -6,32 +6,39 @@ Here a pair is a candidate when it shares >= 1 band bucket (b x r tuned instead
 of l/m — SURVEY.md §2.2 P2); dedup across the bands that both docs share is a
 `dropDuplicates`, the distributed `checked[id]` (methods/qalsh.h:443).
 
-Skew design (SURVEY.md §4 "skew handling", north-rule mandate) — two-pass,
-bounded memory at EVERY operator:
-  - pass 1 aggregates a slim (bucket_size, hub=min doc_id) row per bucket:
-    fixed-width aggregation state, map-side partial combine, safe for any
+Skew design (SURVEY.md §4 "skew handling", north-rule mandate) — SINGLE
+exchange, bounded memory at EVERY operator:
+  - the bucket stream is hash-exchanged ONCE on (band_key, lane_id) and the
+    shuffled copy is persisted DISK_ONLY (compressed columnar batches on the
+    scratch dirs — never pinned in RAM).  Every consumer below reads that one
+    materialization and, because its grouping keys equal the partitioning
+    keys, runs EXCHANGE-FREE: Catalyst's EnsureRequirements sees the
+    ClusteredDistribution already satisfied.  (The previous two-pass design
+    re-exchanged the full stream for the size pass AND the collect pass, and
+    the stats consumer re-ran the size exchange — 3x the shuffle bytes; at
+    the 4M-doc scaling corpus that was ~77 GB of zstd scratch and a
+    kernel-OOM when it all sat on tmpfs.);
+  - pass 1 (over the shuffled copy): a slim (bucket_size, hub=min doc_id)
+    row per bucket — in-stage aggregation, fixed-width state, safe for any
     bucket size.  Hot keys (size > cap) are the rare over-cap tail of the
     size distribution and broadcast to every task;
   - pass 2a (small buckets): members of hot buckets are removed by a
-    MAP-SIDE broadcast anti-join BEFORE the collect_list exchange, so the
-    shuffle never carries a hot bucket's members and every collected array
-    is provably <= cap elements.  All C(size,2) pairs then explode from the
+    MAP-SIDE broadcast anti-join BEFORE the collect_list aggregate, so the
+    aggregation never buffers a hot bucket and every collected array is
+    provably <= cap elements.  All C(size,2) pairs then explode from the
     sorted array via nested `transform` — whole-stage-codegen JVM, no
-    Python.  (The former single-pass design collect_listed EVERY bucket; a
-    degenerate boilerplate bucket — millions of byte-similar pages sharing
-    one band key, the exact case the star rule exists for — materialized as
-    one unspillable aggregation buffer / 2GB-limit array row.);
+    Python;
   - pass 2b (hot buckets): STAR pairing — every member pairs with the hub
     via the broadcast table, a purely map-side join + projection with NO
-    exchange of the big side.  Star keeps the bucket connected for
-    clustering with graph diameter 2 at n-1 edges instead of O(n^2);
-    dropped all-pairs edges are recovered transitively through
-    verification + clustering (hot buckets are near-identical docs by
-    construction);
-  - cost of the safety: the bucket stream is exchanged twice (partial-agg
-    size rows + anti-joined collect buffers) instead of once, both slim,
-    both skew-free; the hot lane that used to ride the same shuffle now
-    rides none.  tests/test_pairs.py pins the plan shape;
+    further exchange.  Star keeps the bucket connected for clustering with
+    graph diameter 2 at n-1 edges instead of O(n^2); dropped all-pairs
+    edges are recovered transitively through verification + clustering
+    (hot buckets are near-identical docs by construction);
+  - the size pass runs EAGERLY at operator build (localCheckpoint of the
+    tiny hot-key table): the two broadcast builds below consume the
+    checkpoint instead of racing to re-materialize the upstream (measured:
+    concurrent duplicate materialization at 4M docs doubled peak memory and
+    OOM-killed the JVM);
   - hot-bucket cardinality and elided pair counts are reported in
     bucket_stats (no-silent-caps rule).
 
@@ -45,6 +52,7 @@ grouping key would only fatten the engine's highest-volume shuffle.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 
 from qalsh_spark.operators.banding import LANE_NAMES, lane_name_col
@@ -83,7 +91,6 @@ def candidate_pairs_from_buckets(
     bucket_cap: int | dict[str, int] = 64,
     dedup: bool = True,
     persists: list | None = None,
-    cache_buckets: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """buckets(doc_id, lane_id, band_key) ->
     (pairs(a, b, lane_id) deduped, bucket_stats).
@@ -101,54 +108,43 @@ def candidate_pairs_from_buckets(
     cap = _cap_expr(bucket_cap)
     sz = F.col("bucket_size")
 
-    # The slim bucket stream feeds three consumers (sizes aggregate, small-
-    # bucket collect, hot-bucket star join).  Standalone lanes (bare
-    # signing -> buckets) persist it so the Python signing stage never
-    # re-executes per consumer; the PIPELINE passes cache_buckets=False
-    # because its signatures stage is already checkpointed/cached — there
-    # the recompute is a cheap cache-scan + explode, and skipping this
-    # cache keeps leg-scale memory at the round-2 envelope (measured at a
-    # 4M-doc corpus: cache spill lands on the tmpfs scratch dir, i.e. RAM —
-    # an extra ~25 GB here pushed total scratch to 99 GB and the kernel
-    # OOM-killed the JVM).
-    if cache_buckets:
-        buckets = buckets.persist()
-        if persists is not None:
-            persists.append(buckets)
+    # THE one exchange: hash-partition the slim bucket stream on its
+    # grouping keys and keep the shuffled copy on disk (compressed columnar;
+    # the scratch dirs span tmpfs + real disk, so this never pins RAM).
+    # Every downstream groupBy/join below clusters on the same keys and
+    # therefore runs in-stage on this partitioning — zero further exchanges
+    # of the engine's highest-volume stream.
+    bucketed = buckets.repartition(F.col("band_key"), F.col("lane_id")).persist(
+        StorageLevel.DISK_ONLY
+    )
+    if persists is not None:
+        persists.append(bucketed)
 
-    # Pass 1 — slim (size, hub) row per bucket.  Fixed-width aggregation
-    # state (two scalars), map-side partial combine: safe for ANY bucket
-    # size, and its exchange carries (key, count, min) partial rows — the
-    # price of knowing which buckets are hot BEFORE anything buffers them.
-    sizes = buckets.groupBy("band_key", "lane_id").agg(
+    # Pass 1 — slim (size, hub) row per bucket: in-stage aggregation over
+    # the shuffled copy (fixed-width state, safe for ANY bucket size).
+    sizes = bucketed.groupBy("band_key", "lane_id").agg(
         F.count("*").alias("bucket_size"),
         F.min("doc_id").alias("hub"),
     )
     # Hot buckets = the over-cap tail of the size distribution — rare by
     # construction (cardinality surfaced in bucket_stats.n_hot_buckets), so
-    # the tiny key table broadcasts.  localCheckpoint is EAGER and is the
-    # ONLY pass-1 materialization: the hot table feeds TWO broadcast joins
-    # below, and Spark launches each broadcast build as its own concurrent
-    # future — left lazy, both futures would race to materialize the same
-    # upstream, running signing/explode twice CONCURRENTLY and doubling
-    # peak memory (measured: the duplicated materialization at 4M docs
-    # pushed the JVM to 71 GB anon-rss on a 24 GB heap; kernel OOM-kill).
-    # Nothing multi-GB is cached: the size aggregate itself stays a lazy
-    # plan (its shuffle files are transient) and only the few hot rows
-    # materialize.
+    # the tiny key table broadcasts.  localCheckpoint is EAGER: it runs the
+    # one exchange above, populates the DISK_ONLY cache as a side effect,
+    # and hands the two broadcast builds below a materialized table so their
+    # concurrent build futures can never race to recompute the upstream.
     hot = F.broadcast(
         sizes.filter(sz > cap).select("band_key", "lane_id", "hub").localCheckpoint()
     )
 
     # Pass 2a — small buckets (2 <= size <= cap): members of hot buckets are
-    # removed by a MAP-SIDE broadcast anti-join BEFORE the collect_list's
-    # exchange, so (a) the shuffle never carries a hot bucket's members and
+    # removed by a MAP-SIDE broadcast anti-join BEFORE the collect_list
+    # aggregate, so (a) the aggregation never buffers a hot bucket and
     # (b) every collected array is provably <= cap elements — a degenerate
     # boilerplate bucket can no longer materialize as one unspillable
     # aggregation buffer (ADVICE r2).  Then JVM all-pairs from the sorted
     # array (pair order a < b, bit-identical to the per-row formulation).
     small_grouped = (
-        buckets.join(hot, on=["band_key", "lane_id"], how="left_anti")
+        bucketed.join(hot, on=["band_key", "lane_id"], how="left_anti")
         .groupBy("band_key", "lane_id")
         .agg(F.array_sort(F.collect_list(F.col("doc_id"))).alias("members"))
     )
@@ -158,10 +154,11 @@ def candidate_pairs_from_buckets(
         .select("pair.a", "pair.b", "lane_id")
     )
     # Pass 2b — hot buckets: star to the hub via the broadcast table — a
-    # purely map-side join + projection, NO exchange of the big side at all.
-    # Row-wise and spillable; a < b holds because hub is the bucket min.
+    # purely map-side join + projection, NO further exchange of the big
+    # side.  Row-wise and spillable; a < b holds because hub is the bucket
+    # min.
     pairs_star = (
-        buckets.join(hot, on=["band_key", "lane_id"])
+        bucketed.join(hot, on=["band_key", "lane_id"])
         .filter(F.col("doc_id") != F.col("hub"))
         .select(F.col("hub").alias("a"), F.col("doc_id").alias("b"), "lane_id")
     )
@@ -169,10 +166,9 @@ def candidate_pairs_from_buckets(
     if dedup:
         pairs = pairs.dropDuplicates(["a", "b", "lane_id"])
 
-    # stats: one slim row per bucket — partial agg collapses to the 3
-    # lanes map-side, so the stats shuffle is a handful of rows.  The sizes
-    # plan is NOT cached (see above), so consuming stats re-runs its
-    # exchange — stats is a diagnostic read at most once per run.
+    # stats: one slim row per bucket, re-aggregated in-stage from the same
+    # persisted partitioning — consuming stats costs a cache scan, not a
+    # re-run of the bucket exchange.
     per_bucket = sizes.withColumn("cap", cap)
     stats = (
         per_bucket.groupBy("lane_id")

@@ -112,13 +112,11 @@ class DedupPipeline:
         }
         if self.enable_suffix:
             caps["suffix"] = SUFFIX_BUCKET_CAP
-        # cache_buckets=False: signatures are stage-cached/checkpointed, so
-        # each pair-generation consumer re-derives the bucket stream with a
-        # cheap cache-scan + explode instead of pinning a second multi-GB
-        # cache (whose spill would land on the tmpfs scratch = RAM).
+        # The operator hash-exchanges the bucket stream once and persists
+        # the shuffled copy DISK_ONLY; every pair-generation consumer reads
+        # that one materialization exchange-free (pairs.py module doc).
         return candidate_pairs_from_buckets(
             self.buckets(signatures), caps, persists=persists,
-            cache_buckets=False,
         )
 
     def verify(
@@ -157,7 +155,6 @@ class DedupPipeline:
         )
         pairs2, _stats = candidate_pairs_from_buckets(
             buckets, self.cfg.bucket_cap, persists=persists,
-            cache_buckets=False,  # signatures stage-cached, same as above
         )
         return pairs2
 

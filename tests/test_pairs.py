@@ -2,9 +2,11 @@
 
 The ADVICE r2 finding: the former single collect_list grouped EVERY bucket,
 so a degenerate boilerplate bucket (the exact case the star rule exists for)
-materialized as one unspillable aggregation buffer.  The two-pass design must
-(a) emit bit-identical pairs, (b) never collect_list a hot bucket, and
-(c) still exchange the full bucket stream exactly once.
+materialized as one unspillable aggregation buffer.  The single-exchange
+design must (a) emit bit-identical pairs, (b) never collect_list a hot
+bucket, and (c) exchange the full bucket stream exactly once — the shuffled
+copy is persisted DISK_ONLY and every consumer (sizes, collect, star, stats)
+reads it exchange-free on the preserved (band_key, lane_id) partitioning.
 """
 
 from __future__ import annotations
@@ -82,31 +84,39 @@ def test_per_lane_caps_and_cross_lane_dedup(spark):
 
 
 def test_pairs_plan_shape(spark):
-    """Plan pins for the two-pass skew design:
-    - the (size, hub) pass runs EAGERLY at operator build (exactly once —
-      the two broadcast builds must never race to re-materialize it), so
-      the returned pairs plan contains exactly ONE exchange keyed on the
-      bucket stream: the anti-joined collect buffers;
+    """Plan pins for the single-exchange skew design:
+    - the bucket stream is exchanged exactly ONCE, by the operator's own
+      repartition (REPARTITION_BY_COL), and the shuffled copy is a
+      DISK_ONLY InMemoryRelation; Catalyst inserts NO consumer-side
+      (ENSURE_REQUIREMENTS) exchange keyed on the bucket stream — sizes,
+      collect and star all run on the preserved partitioning;
     - the hot-member anti-join is a BroadcastHashJoin BELOW the partial
-      collect_list (map-side: the shuffle never carries hot members);
+      collect_list (map-side: the aggregation never buffers hot members)
+      and the partial->final collect_list pair has no exchange between;
     - the star lane is broadcast-joined with NO exchange of the big side."""
     import re
 
     rows = [(d, MINHASH, d % 5) for d in range(50)]
     pairs, _ = candidate_pairs_from_buckets(_buckets_df(spark, rows), 64)
     plan = pairs._jdf.queryExecution().executedPlan().toString()
-    ids = set(
-        re.findall(
-            r"Exchange hashpartitioning\(band_key[^\n]*?\[plan_id=(\d+)\]", plan
-        )
+    # no consumer re-exchanges the bucket stream (the only band_key
+    # exchange is the operator's own REPARTITION_BY_COL)
+    ensure = re.findall(
+        r"Exchange hashpartitioning\(band_key[^\n]*ENSURE_REQUIREMENTS", plan
     )
-    assert len(ids) == 1, plan
+    assert not ensure, plan
+    assert "REPARTITION_BY_COL" in plan, plan
+    assert "StorageLevel(disk" in plan, plan
     assert "LeftAnti, BuildRight" in plan, plan
-    # anti-join feeds the PARTIAL collect_list (same stage, no exchange
-    # between them): the partial agg must appear above the anti-join and
-    # below the collect exchange in the small-bucket branch
-    small = plan[plan.index("partial_collect_list"):]
-    assert "LeftAnti" in small.split("Exchange hashpartitioning", 1)[0], plan
+    # partial collect_list sits directly on the anti-join (same stage) and
+    # its final agg follows with no exchange between them
+    final_at = plan.index("functions=[collect_list")
+    partial_at = plan.index("partial_collect_list")
+    assert final_at < partial_at, plan  # toString prints final above partial
+    assert "Exchange" not in plan[final_at:partial_at], plan
+    anti_at = plan.index("LeftAnti")
+    assert partial_at < anti_at, plan
+    assert "Exchange" not in plan[partial_at:anti_at], plan
 
 
 def test_hot_bucket_never_enters_collect_list(spark):
