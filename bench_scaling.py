@@ -112,6 +112,23 @@ def _clean_scratch() -> None:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _scratch_monitor(root: str, stop, out: dict, period: float = 10.0) -> None:
+    """Sample the scratch dir's footprint until `stop` is set; record the
+    peak (bytes) in out['peak'].  Pure os.walk — no subprocess, negligible
+    CPU next to a leg."""
+    peak = 0
+    while not stop.wait(period):
+        total = 0
+        for dirpath, _dirnames, filenames in os.walk(root):
+            for fn in filenames:
+                try:
+                    total += os.path.getsize(os.path.join(dirpath, fn))
+                except OSError:
+                    pass
+        peak = max(peak, total)
+    out["peak"] = peak
+
+
 def run_level(corpus: str, cpus: int) -> dict:
     _clean_scratch()
     cmd = [
@@ -122,6 +139,18 @@ def run_level(corpus: str, cpus: int) -> dict:
         "--json",
     ]
     env = dict(os.environ)
+    # Leg scratch lives on tmpfs ONLY.  A real 4N-executor fleet multiplies
+    # local-disk bandwidth with the node count; this host has ONE virtio
+    # disk, and striping half the shuffle blocks onto it (the session
+    # default's dual-dir layout) imposes a core-count-independent I/O floor
+    # — measured: the decomposed NONPAR term of the 4M-doc gate job rose
+    # 286 s -> 700 s when the dual-dir layout landed, capping any 2/8-core
+    # pair at 0.78 efficiency no matter how well the job scales.  zstd
+    # shuffle compression (session default since b6565d4) shrinks the
+    # 4M-doc scratch from ~99 GB (lz4) to well under half of this box's
+    # 126 GB tmpfs, so the all-RAM placement is safe again; the monitor
+    # below records each leg's measured peak as evidence.
+    env.setdefault("QALSH_LOCAL_DIR", "/dev/shm/qalsh-spark-scratch")
     # Per-core-fair heap (3 GB/core): the north rule compares N vs 4N
     # EXECUTORS — identical executor specs, so total memory scales 4x with
     # the cores.  Giving both local[] levels one fixed heap would
@@ -132,16 +161,32 @@ def run_level(corpus: str, cpus: int) -> dict:
     # exceeds the 125 GB box (measured: JVM death mid-run).  Override with
     # QALSH_DRIVER_MEM.
     env.setdefault("QALSH_DRIVER_MEM", f"{max(3 * cpus, 8)}g")
-    t0 = time.time()
-    out = subprocess.run(
-        cmd, capture_output=True, text=True, cwd=REPO, timeout=10800, env=env
+    import threading
+
+    stop = threading.Event()
+    mon_out: dict = {}
+    mon = threading.Thread(
+        target=_scratch_monitor,
+        args=(env["QALSH_LOCAL_DIR"].split(",")[0], stop, mon_out),
+        daemon=True,
     )
+    mon.start()
+    t0 = time.time()
+    try:
+        out = subprocess.run(
+            cmd, capture_output=True, text=True, cwd=REPO, timeout=10800, env=env
+        )
+    finally:
+        stop.set()
+        mon.join(timeout=15)
     if out.returncode != 0:
         sys.stderr.write(out.stderr[-4000:])
         raise SystemExit(f"level local[{cpus}] failed rc={out.returncode}")
     line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
     m = json.loads(line)
     m["process_wall_sec"] = round(time.time() - t0, 1)
+    m["scratch_peak_gb"] = round(mon_out.get("peak", 0) / 2**30, 1)
+    m["scratch_dirs"] = env["QALSH_LOCAL_DIR"]
     return m
 
 

@@ -109,13 +109,18 @@ def candidate_pairs_from_buckets(
     sz = F.col("bucket_size")
 
     # THE one exchange: hash-partition the slim bucket stream on its
-    # grouping keys and keep the shuffled copy on disk (compressed columnar;
-    # the scratch dirs span tmpfs + real disk, so this never pins RAM).
-    # Every downstream groupBy/join below clusters on the same keys and
-    # therefore runs in-stage on this partitioning — zero further exchanges
-    # of the engine's highest-volume stream.
+    # grouping keys and keep the shuffled copy MEMORY_AND_DISK (compressed
+    # columnar batches; blocks the JVM storage pool cannot hold are evicted
+    # to the scratch dirs, so the footprint is heap-bounded — never a kernel
+    # OOM).  At small inputs the three consumers below re-read pure RAM; at
+    # leg/cluster scale eviction degrades gracefully to disk (measured:
+    # forcing DISK_ONLY here cost the sf0.1 flagship query ~55% wall by
+    # pushing every consumer scan through zstd + the real-disk half of the
+    # dual scratch dirs).  Every downstream groupBy/join below clusters on
+    # the same keys and therefore runs in-stage on this partitioning — zero
+    # further exchanges of the engine's highest-volume stream.
     bucketed = buckets.repartition(F.col("band_key"), F.col("lane_id")).persist(
-        StorageLevel.DISK_ONLY
+        StorageLevel.MEMORY_AND_DISK
     )
     if persists is not None:
         persists.append(bucketed)
