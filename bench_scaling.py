@@ -180,8 +180,19 @@ def run_level(corpus: str, cpus: int) -> dict:
         stop.set()
         mon.join(timeout=15)
     if out.returncode != 0:
+        # keep the FULL job stderr — a tail-only capture loses the root
+        # cause when Spark's shutdown noise (rejected-task spam from every
+        # executor thread) follows the triggering exception
+        os.makedirs(os.path.join(REPO, "BENCH", "logs"), exist_ok=True)
+        logp = os.path.join(
+            REPO, "BENCH", "logs", f"leg{cpus}-fail-{int(time.time())}.stderr"
+        )
+        with open(logp, "w") as f:
+            f.write(out.stderr)
         sys.stderr.write(out.stderr[-4000:])
-        raise SystemExit(f"level local[{cpus}] failed rc={out.returncode}")
+        raise SystemExit(
+            f"level local[{cpus}] failed rc={out.returncode} (full log: {logp})"
+        )
     line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
     m = json.loads(line)
     m["process_wall_sec"] = round(time.time() - t0, 1)

@@ -967,8 +967,11 @@ def ann_recall_sweep(
 
 
 def q_ann_recall_eval(spark, sf_dir):
-    """Rows-only: recall@k of the SRP-LSH lane vs exact brute force over the
-    full reference TOPKs sweep k in {1,2,5,10,20,50,100}."""
+    """recall@k + overall distance ratio of the SRP-LSH lane vs exact brute
+    force over the full reference TOPKs sweep k in {1,2,5,10,20,50,100} —
+    golden-oracle checked (scripts/make_golden.build_ann_lanes freezes the
+    single-process sweep; tests/test_golden_ann.py holds Spark to it
+    exactly)."""
     emb = _emb(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
@@ -1056,6 +1059,42 @@ FROM read_parquet('/root/repo/golden/embedding_near_dup.parquet')
 WHERE emb_fp = {_EMB_FP_SQL}
 """
 
+# Approximate-ANN lanes: fully deterministic (seeded planes/centroids,
+# (key, id) tie ranking), frozen by scripts/make_golden.build_ann_lanes —
+# single-process replays of the operator compositions with the JVM double
+# fold replicated bit-for-bit (verified exact-equal vs the live Spark
+# output at every sf dir by tests/test_golden_ann.py).
+
+SQL_LSH_ANN_TOPK = f"""
+SELECT qid, neighbor_id, cos, rank
+FROM read_parquet('/root/repo/golden/lsh_ann_topk.parquet')
+WHERE emb_fp = {_EMB_FP_SQL}
+"""
+
+SQL_IVF_ANN_TOPK = f"""
+SELECT qid, neighbor_id, cos, rank
+FROM read_parquet('/root/repo/golden/ivf_ann_topk.parquet')
+WHERE emb_fp = {_EMB_FP_SQL}
+"""
+
+SQL_QALSH_PLUS_ANN_TOPK = f"""
+SELECT qid, neighbor_id, cos, rank
+FROM read_parquet('/root/repo/golden/qalsh_plus_ann_topk.parquet')
+WHERE emb_fp = {_EMB_FP_SQL}
+"""
+
+SQL_PSTABLE_ANN_TOPK = f"""
+SELECT qid, neighbor_id, l2, rank
+FROM read_parquet('/root/repo/golden/pstable_ann_topk.parquet')
+WHERE emb_fp = {_EMB_FP_SQL}
+"""
+
+SQL_ANN_RECALL_EVAL = f"""
+SELECT k, n_queries, avg_recall, avg_ratio
+FROM read_parquet('/root/repo/golden/ann_recall_eval.parquet')
+WHERE emb_fp = {_EMB_FP_SQL}
+"""
+
 
 def q_minhash_signatures(spark, sf_dir):
     from qalsh_spark.functions.signatures import sign_documents
@@ -1091,6 +1130,9 @@ def q_substring_pairs(spark, sf_dir):
 
 
 def q_lsh_ann_topk(spark, sf_dir):
+    """SRP-LSH approximate top-k — golden-oracle checked (deterministic
+    seeded planes + (score, id) ranking; scripts/make_golden.build_ann_lanes
+    replays the lane single-process with a bit-exact JVM-fold twin)."""
     emb = _emb(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
@@ -1103,6 +1145,8 @@ def q_lsh_ann_topk(spark, sf_dir):
 
 
 def q_ivf_ann_topk(spark, sf_dir):
+    """IVF approximate top-k — golden-oracle checked (seeded sample
+    centroids make the whole lane deterministic)."""
     emb = _emb(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
@@ -1115,7 +1159,8 @@ def q_ivf_ann_topk(spark, sf_dir):
 
 
 def q_qalsh_plus_ann_topk(spark, sf_dir):
-    """Rows-only (two-level LSH routing is not SQL-expressible): QALSH+
+    """Golden-oracle checked (the routing is not SQL-expressible, but the
+    lane is deterministic, so make_golden freezes its exact output): QALSH+
     analog — per-cell Drusilla representative sketches rank the cells by
     sample votes, then exact rescoring inside the best-voted cells
     (/root/reference/methods/qalsh_plus.h:264-338, 540-598).  pytest
@@ -1134,7 +1179,9 @@ def q_qalsh_plus_ann_topk(spark, sf_dir):
 
 
 def q_pstable_ann_topk(spark, sf_dir):
-    """Rows-only (quantized-grid LSH is not SQL-expressible): the p-stable
+    """Golden-oracle checked (quantized-grid LSH is not SQL-expressible,
+    but the lane is deterministic, so make_golden freezes its exact
+    output): the p-stable
     (Gaussian, p=2) lane with the reference's collision-count candidate
     rule — the direct batch reimagination of QALSH's core hash family
     (/root/reference/methods/qalsh.h:118-120, freq>l at 442-447).  pytest
@@ -1211,7 +1258,7 @@ QUERIES: dict[str, SparkQuery] = {
     "image_decode_meta": q_image_decode_meta,
     # ANN evaluation protocol
     "ann_recall_eval": q_ann_recall_eval,
-    # non-SQL lanes (rows-only)
+    # non-SQL lanes (golden-parquet oracles — scripts/make_golden.py)
     "minhash_dedup_clusters": q_minhash_dedup_clusters,
     "minhash_signatures": q_minhash_signatures,
     "simhash_hamming_pairs": q_simhash_hamming_pairs,
@@ -1260,4 +1307,9 @@ ORACLE_SQL: dict[str, str] = {
     "substring_pairs": SQL_SUBSTRING_PAIRS,
     "minhash_dedup_clusters": SQL_MINHASH_DEDUP_CLUSTERS,
     "embedding_near_dup": SQL_EMBEDDING_NEAR_DUP,
+    "lsh_ann_topk": SQL_LSH_ANN_TOPK,
+    "ivf_ann_topk": SQL_IVF_ANN_TOPK,
+    "qalsh_plus_ann_topk": SQL_QALSH_PLUS_ANN_TOPK,
+    "pstable_ann_topk": SQL_PSTABLE_ANN_TOPK,
+    "ann_recall_eval": SQL_ANN_RECALL_EVAL,
 }

@@ -259,6 +259,235 @@ def build(sf_dir: str, cfg: DedupConfig):
     }
 
 
+# --- approximate-ANN lanes (VERDICT r2 nit 4 continued): the four top-k
+# queries are fully deterministic (seeded planes/centroids, (key, id) tie
+# ranking), so the same freeze-the-NumPy-oracle move closes their rows-only
+# driver gap.  Float discipline mirrors the JVM expressions bit-for-bit:
+# the embedding column is cast to array<double> BEFORE every lane
+# (queries.py), so products/sums are pure float64 with F.aggregate's
+# left-to-right fold — `_fold_rows` below IS that fold, vectorized across
+# rows instead of along them.
+
+
+def _fold_rows(P: np.ndarray) -> np.ndarray:
+    """Left-to-right float64 fold per row — bit-identical to operators/
+    ann._dot's F.aggregate(acc + v) over array<double> columns."""
+    acc = np.zeros(P.shape[0], dtype=np.float64)
+    for j in range(P.shape[1]):
+        acc = acc + P[:, j]
+    return acc
+
+
+def _cos_spark64(q: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """operators/ann.cosine_sim over array<double>: dot/(norm_q*norm_c),
+    each dot a left-to-right fold."""
+    num = _fold_rows(C * q[None, :])
+    sq = np.sqrt(_fold_rows((q * q)[None, :]))[0]
+    sc = np.sqrt(_fold_rows(C * C))
+    return num / (sq * sc)
+
+
+def _l2_spark64(q: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """operators/ann.lp_dist(p=2) = sqrt(fold((x-y)*(x-y)))."""
+    D = C - q[None, :]
+    return np.sqrt(_fold_rows(D * D))
+
+
+def _rank_topk(ids, scores, k, desc):
+    """(score desc|asc, id asc) row_number ranking, exactly the Window
+    ordering every ANN lane uses."""
+    key = (lambda i: (-scores[i], ids[i])) if desc else (
+        lambda i: (scores[i], ids[i])
+    )
+    order = sorted(range(len(ids)), key=key)
+    return [(int(ids[i]), float(scores[i]), r + 1) for r, i in enumerate(order[:k])]
+
+
+def _ann_table(fp: str, rows: list, score_name: str) -> pa.Table:
+    return pa.table(
+        {
+            "emb_fp": [fp] * len(rows),
+            "qid": pa.array([r[0] for r in rows], pa.int64()),
+            "neighbor_id": pa.array([r[1] for r in rows], pa.int64()),
+            score_name: pa.array([r[2] for r in rows], pa.float64()),
+            "rank": pa.array([r[3] for r in rows], pa.int32()),
+        }
+    )
+
+
+def build_ann_lanes(sf_dir: str) -> dict[str, pa.Table]:
+    """Golden tables for q_{lsh,ivf,qalsh_plus,pstable}_ann_topk and
+    q_ann_recall_eval — single-process replays of the exact operator
+    compositions in operators/ann.py / operators/drusilla.py, sharing the
+    same qalsh_spark.kernels calls the Arrow UDFs make (planes, quantized
+    keys, Drusilla selection), with the JVM rescoring fold replicated by
+    `_fold_rows`.  Query protocol is the queries.py one: queries = vec_id
+    < 10, k = 5 (100 for the recall sweep's approx input)."""
+    from collections import defaultdict
+
+    fp, ids, emb32 = embeddings_fp(sf_dir)
+    X = emb32.astype(np.float64)
+    n, d = X.shape
+    qsel = np.nonzero(ids < 10)[0]
+
+    def topk_rows(cand_idx_per_q, score_fn, k, desc, round_to=3):
+        rows = []
+        for qi in qsel:
+            cidx = cand_idx_per_q[int(ids[qi])]
+            if not cidx:
+                continue
+            cidx = sorted(cidx)
+            scores = score_fn(X[qi], X[np.array(cidx)])
+            nbr = ids[np.array(cidx)]
+            for nid, s, r in _rank_topk(nbr, scores, k, desc):
+                rows.append((int(ids[qi]), nid, _spark_round(s, round_to), r))
+        return rows
+
+    out: dict[str, pa.Table] = {}
+
+    # --- lsh_ann_topk: SRP m=16 bands=4 seed=6, >=1 shared band, cosine
+    planes = K.srp_planes(16, d, 6)
+    keys = K.srp_band_keys_matrix(X, planes, 4, 4)
+    buckets: dict[int, list[int]] = defaultdict(list)
+    for i in range(n):
+        for key in keys[i].tolist():
+            buckets[key].append(i)
+    lsh_cand = {
+        int(ids[qi]): set().union(*(buckets[k_] for k_ in keys[qi].tolist()))
+        for qi in qsel
+    }
+    out["lsh_ann_topk"] = _ann_table(
+        fp, topk_rows(lsh_cand, _cos_spark64, 5, desc=True), "cos"
+    )
+
+    # --- pstable_ann_topk: Gaussian p=2, w=3.2, m=32 single-row bands,
+    # collision count >= 16 (the reference's freq>l rule), exact l2 rescore
+    pplanes = K.pstable_planes(32, d, 2.0, 6)
+    poffs = K.pstable_offsets(32, 3.2, 6)
+    pkeys = K.pstable_band_keys_matrix(X, pplanes, poffs, 3.2, 32, 1)
+    ps_cand = {}
+    for qi in qsel:
+        coll = (pkeys == pkeys[qi][None, :]).sum(axis=1)
+        ps_cand[int(ids[qi])] = set(np.nonzero(coll >= 16)[0].tolist())
+    out["pstable_ann_topk"] = _ann_table(
+        fp, topk_rows(ps_cand, _l2_spark64, 5, desc=False), "l2"
+    )
+
+    # --- ivf_ann_topk: seeded-sample centroids (first-1024-by-id sample,
+    # rng(6) choice), nearest-cell assign, nprobe=4, cosine rescore
+    def centroids(n_cells):
+        sample = X[: min(n, 1024)]
+        rng = np.random.default_rng(6)
+        idx = rng.choice(len(sample), size=min(n_cells, len(sample)), replace=False)
+        return sample[idx]
+
+    def cell_assign(M, cents, top):
+        c2 = (cents**2).sum(axis=1)
+        d2 = -2.0 * (M @ cents.T) + c2[None, :]
+        if top == 1:
+            return d2.argmin(axis=1)[:, None]
+        return np.argsort(d2, axis=1, kind="stable")[:, :top]
+
+    cents16 = centroids(16)
+    vcell16 = cell_assign(X, cents16, 1)[:, 0]
+    qcell16 = cell_assign(X[qsel], cents16, 4)
+    members16: dict[int, list[int]] = defaultdict(list)
+    for i, c in enumerate(vcell16.tolist()):
+        members16[c].append(i)
+    ivf_cand = {
+        int(ids[qi]): set().union(
+            *(members16[c] for c in qcell16[j].tolist())
+        )
+        for j, qi in enumerate(qsel)
+    }
+    out["ivf_ann_topk"] = _ann_table(
+        fp, topk_rows(ivf_cand, _cos_spark64, 5, desc=True), "cos"
+    )
+
+    # --- qalsh_plus_ann_topk: 8 cells, per-cell Drusilla reps (4x8),
+    # top-100 sample votes -> probe 4 cells, cosine rescore
+    cents8 = centroids(8)
+    vcell8 = cell_assign(X, cents8, 1)[:, 0]
+    members8: dict[int, list[int]] = defaultdict(list)
+    for i, c in enumerate(vcell8.tolist()):
+        members8[c].append(i)
+    rep_idx: list[tuple[int, int]] = []  # (cell, row)
+    for c in sorted(members8):
+        rows_c = np.array(members8[c])  # ascending row index == ascending id
+        sel = K.drusilla_select(X[rows_c], 4, 8)
+        rep_idx.extend((c, int(rows_c[s])) for s in sel)
+    qp_rows = []
+    for qi in qsel:
+        rrows = np.array([r for _, r in rep_idx])
+        rscores = _cos_spark64(X[qi], X[rrows])
+        rids = ids[rrows]
+        order = sorted(
+            range(len(rep_idx)), key=lambda i: (-rscores[i], rids[i])
+        )[:100]
+        votes: dict[int, int] = defaultdict(int)
+        for i in order:
+            votes[rep_idx[i][0]] += 1
+        probe = sorted(votes, key=lambda c: (-votes[c], c))[:4]
+        cand = sorted(set().union(*(members8[c] for c in probe)))
+        scores = _cos_spark64(X[qi], X[np.array(cand)])
+        for nid, s, r in _rank_topk(ids[np.array(cand)], scores, 5, desc=True):
+            qp_rows.append((int(ids[qi]), nid, _spark_round(s, 3), r))
+    out["qalsh_plus_ann_topk"] = _ann_table(fp, qp_rows, "cos")
+
+    # --- ann_recall_eval: recall@k + distance ratio of the SRP lane vs
+    # exact cosine truth, k sweep {1,2,5,10,20,50,100} (queries.
+    # ann_recall_sweep semantics: position-wise ratio over 1-cos, exact-
+    # dist-0 positions excluded, avg ignores null ratios)
+    topks = [1, 2, 5, 10, 20, 50, 100]
+    truth = {}
+    for qi in qsel:
+        scores = _cos_spark64(X[qi], X)
+        truth[int(ids[qi])] = _rank_topk(ids, scores, 100, desc=True)
+    appr = {}
+    for qi in qsel:
+        cidx = sorted(lsh_cand[int(ids[qi])])
+        scores = _cos_spark64(X[qi], X[np.array(cidx)])
+        appr[int(ids[qi])] = _rank_topk(ids[np.array(cidx)], scores, 100, desc=True)
+    sweep_rows = []
+    for k in topks:
+        recalls, ratios = [], []
+        for qi in qsel:
+            q = int(ids[qi])
+            t_by_id = {nid: r for nid, _s, r in truth[q]}
+            a_by_id = {nid: r for nid, _s, r in appr[q]}
+            hits = sum(
+                1
+                for nid, rt in t_by_id.items()
+                if rt <= k and a_by_id.get(nid, 10**9) <= k
+            )
+            recalls.append(hits / k)
+            t_by_rank = {r: 1.0 - s for _nid, s, r in truth[q]}
+            a_by_rank = {r: 1.0 - s for _nid, s, r in appr[q]}
+            rs = [
+                a_by_rank[i] / t_by_rank[i]
+                for i in range(1, k + 1)
+                if i in t_by_rank and i in a_by_rank and t_by_rank[i] > 0
+            ]
+            if rs:
+                ratios.append(sum(rs) / len(rs))
+        avg_ratio = (
+            _spark_round(sum(ratios) / len(ratios), 4) if ratios else None
+        )
+        sweep_rows.append(
+            (k, len(recalls), _spark_round(sum(recalls) / len(recalls), 4), avg_ratio)
+        )
+    out["ann_recall_eval"] = pa.table(
+        {
+            "emb_fp": [fp] * len(sweep_rows),
+            "k": pa.array([r[0] for r in sweep_rows], pa.int32()),
+            "n_queries": pa.array([r[1] for r in sweep_rows], pa.int64()),
+            "avg_recall": pa.array([r[2] for r in sweep_rows], pa.float64()),
+            "avg_ratio": pa.array([r[3] for r in sweep_rows], pa.float64()),
+        }
+    )
+    return out
+
+
 def main() -> None:
     cfg = DedupConfig()
     acc: dict[str, list] = {}
@@ -269,6 +498,7 @@ def main() -> None:
         tables = build(sf, cfg)
         tables["minhash_dedup_clusters"] = build_clusters(sf, cfg)
         tables["embedding_near_dup"] = build_neardup(sf)
+        tables.update(build_ann_lanes(sf))
         for name, t in tables.items():
             acc.setdefault(name, []).append(t)
         print(f"{sf}: " + ", ".join(f"{k}={v.num_rows}" for k, v in tables.items()))
