@@ -21,7 +21,19 @@ only decrease, so an unchanged sum means a fixed point.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
+
+# Storage level for every lineage-truncating checkpoint of a LARGE DataFrame.
+# The JVM default for Dataset.localCheckpoint is Scala's MEMORY_AND_DISK,
+# which stores DESERIALIZED Java objects: blocks that spill to disk under
+# memory pressure are Java-serialized, and every later read re-inflates the
+# whole block into the memory store (BlockManager.maybeCacheDiskValuesInMemory)
+# — at the 4M-doc scaling leg, 8 concurrent tasks re-inflating spilled
+# adjacency blocks OOM-killed a 24g heap.  The SERIALIZED level streams disk
+# blocks without re-inflation and its memory-store puts reserve bytes up
+# front, degrading to disk reads instead of heap death.
+_CKPT_LEVEL = StorageLevel.MEMORY_AND_DISK
 
 
 def connected_components(
@@ -56,7 +68,7 @@ def connected_components(
         .select("e.src", "e.dst")
         .repartition(F.col("dst"))
     )
-    sym = sym.localCheckpoint()
+    sym = sym.localCheckpoint(True, _CKPT_LEVEL)
     if verbose:
         print(f"[cc] sym ckpt {_time.time()-_t0:.1f}s")
     labels = (
@@ -64,7 +76,7 @@ def connected_components(
         .agg(F.least(F.min("dst"), F.first("src")).alias("label"))
         .withColumnRenamed("src", "doc_id")
         .withColumn("label", F.least(F.col("label"), F.col("doc_id")))
-        .localCheckpoint()
+        .localCheckpoint(True, _CKPT_LEVEL)
     )
     if verbose:
         print(f"[cc] labels init {_time.time()-_t0:.1f}s")
@@ -94,7 +106,7 @@ def connected_components(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint()
+            .localCheckpoint(True, _CKPT_LEVEL)
         )
         new_sum = _label_sum(new_labels)
         labels = new_labels

@@ -10,6 +10,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
 from qalsh_spark.functions.text import content_md5
+from qalsh_spark.operators.components import _CKPT_LEVEL
 
 
 def exact_dup_groups(documents: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -63,7 +64,7 @@ def token_jaccard_pairs(
     toks = documents.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(F.split(F.lower("text"), " "))).alias("tok"),
-    ).filter(F.col("tok") != "").persist()
+    ).filter(F.col("tok") != "").persist(_CKPT_LEVEL)
     if persists is not None:
         persists.append(toks)
     sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n_tok"))

@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame
 
 from qalsh_spark import kernels as K
 from qalsh_spark.config import DedupConfig
+from qalsh_spark.operators.components import _CKPT_LEVEL
 from qalsh_spark.operators.banding import LANE_MINHASH, LANE_SIMHASH, LANE_SUFFIX, lane_name_col
 
 
@@ -170,7 +171,7 @@ def verify_pairs(
     j = (
         j.filter((is_minhash & est_ok) | is_simhash | (is_suffix & suffix_ok))
         .select("a", "b", "lane_id", "hamming", "mh_est")
-        .persist()
+        .persist(_CKPT_LEVEL)
     )
     if persists is not None:
         persists.append(j)
@@ -194,7 +195,7 @@ def verify_pairs(
                 "doc_id",
                 shingle_set_udf(cfg.shingle_k)(F.col("text")).alias("shingles"),
             )
-            .persist()
+            .persist(_CKPT_LEVEL)
         )
         if persists is not None:
             persists.append(cand_sh)

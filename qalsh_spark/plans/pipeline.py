@@ -184,8 +184,14 @@ class DedupPipeline:
                 # many downstream consumers (verify joins signatures twice,
                 # clustering reads it again) don't re-execute the whole
                 # upstream plan — the in-memory analog of the catalog's
-                # read-back-after-write.
-                df = df.persist()
+                # read-back-after-write.  SERIALIZED level (not the
+                # deserialized JVM default): blocks this cache spills under
+                # pressure would otherwise be re-inflated whole into the
+                # memory store on every read (maybeCacheDiskValuesInMemory),
+                # which OOM-killed the 24g 4M-doc scaling leg.
+                from qalsh_spark.operators.components import _CKPT_LEVEL
+
+                df = df.persist(_CKPT_LEVEL)
                 persists.append(df)
             return df
 
@@ -249,8 +255,13 @@ class DedupPipeline:
                 # references compound into an exponentially large Catalyst
                 # tree (plan stringification alone OOMs).  Truncating
                 # lineage here keeps the second-pass plan the same size as
-                # the first.
-                edges_df = edges_df.localCheckpoint()
+                # the first.  SERIALIZED level: the JVM default (deserialized
+                # MEMORY_AND_DISK) re-inflates disk-spilled blocks as Java
+                # objects on every read — heap OOM at leg scale (see
+                # operators/components._CKPT_LEVEL).
+                from qalsh_spark.operators.components import _CKPT_LEVEL
+
+                edges_df = edges_df.localCheckpoint(True, _CKPT_LEVEL)
                 pairs2 = self._escalation_pairs(signatures, edges_df, persists)
                 # endpoints of escalated pairs are all unmatched docs, so
                 # the recovered edges are disjoint from the first pass
