@@ -43,6 +43,16 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
+    # Host-phase stamp: this sandbox's delivered per-core CPU swings 2-6x
+    # between phases (shared infrastructure; see BENCH/BASELINE.md honesty
+    # box — e.g. the BLAS-shape probe measured 2834 vs 470 units/s/core in
+    # two windows hours apart).  A cross-round wall comparison without the
+    # phase recorded next to it is meaningless, so every bench JSON carries
+    # the probe rates measured immediately before the queries ran.
+    from bench_scaling import cpu_probe
+
+    host_probe = cpu_probe(4, dur=6.0)
+
     from qalsh_spark.session import get_spark
     from qalsh_spark.queries import QUERIES
 
@@ -92,6 +102,7 @@ def main() -> None:
         "cpus": int(cpus),
         "n_docs": n_docs,
         "dedup_docs_per_hour": round(n_docs / dedup_wall * 3600.0, 1),
+        "host_probe_4proc": host_probe,
     }
     print(json.dumps(out))
 
