@@ -138,7 +138,9 @@ def candidate_pairs_from_buckets(
     # and hands the two broadcast builds below a materialized table so their
     # concurrent build futures can never race to recompute the upstream.
     hot = F.broadcast(
-        sizes.filter(sz > cap).select("band_key", "lane_id", "hub").localCheckpoint()
+        sizes.filter(sz > cap)
+        .select("band_key", "lane_id", "hub")
+        .localCheckpoint(True, StorageLevel.MEMORY_AND_DISK)
     )
 
     # Pass 2a — small buckets (2 <= size <= cap): members of hot buckets are

@@ -21,6 +21,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from qalsh_spark.config import DedupConfig
+from qalsh_spark.operators.components import _CKPT_LEVEL
 from qalsh_spark.functions.text import content_md5, quality_features, token_count_col
 from qalsh_spark.operators.ann import brute_force_topk, cosine_sim, ivf_topk, lsh_topk, l2_sqr, _norm
 from qalsh_spark.operators.dedup import (
@@ -178,7 +179,7 @@ def q_token_jaccard_pairs(spark, sf_dir):
         threshold=0.4,
         max_token_df=20,
         persists=persists,
-    ).localCheckpoint()
+    ).localCheckpoint(True, _CKPT_LEVEL)
     for df in persists:
         df.unpersist()
     return out
@@ -1005,7 +1006,9 @@ def q_minhash_dedup_clusters(spark, sf_dir):
     from qalsh_spark.plans.pipeline import DedupPipeline
 
     res = DedupPipeline(DedupConfig()).run(_adapted_docs(spark, sf_dir))
-    out = res.clusters.select("doc_id", "cluster_id", "cluster_size").localCheckpoint()
+    out = res.clusters.select("doc_id", "cluster_id", "cluster_size").localCheckpoint(
+        True, _CKPT_LEVEL
+    )
     res.release()
     return out
 

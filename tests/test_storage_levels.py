@@ -1,0 +1,48 @@
+"""Every RDD block the engine stores must use a SERIALIZED storage level.
+
+The JVM default for both `Dataset.persist()` and `Dataset.localCheckpoint()`
+is the DESERIALIZED MEMORY_AND_DISK level.  Deserialized blocks that spill
+to disk under memory pressure are Java-serialized on the way out and
+re-inflated WHOLE into the memory store on every later read
+(`BlockManager.maybeCacheDiskValuesInMemory`) — with N concurrent reader
+tasks that is an O(N x block) heap spike, which OOM-killed the 4M-doc
+local[8] scaling leg on a 24 GB heap (connected-components adjacency
+checkpoint; BENCH/BASELINE.md round-3 status box).  Serialized blocks
+stream from disk and reserve memory-store bytes up front, so pressure
+degrades to disk reads instead of heap death.
+
+This test runs the flagship pipeline (which exercises every persist /
+localCheckpoint site: stage-boundary caches, verify intermediates, the
+hot-bucket checkpoint, CC adjacency + label checkpoints) and asserts no
+block in the block manager is stored deserialized — pinning the fix the
+same way the plan-shape tests pin the IVF/SRP rewrites.
+"""
+
+from __future__ import annotations
+
+from qalsh_spark.config import DedupConfig
+from qalsh_spark.datagen import cached_corpus
+from qalsh_spark.plans.pipeline import run_dedup
+from qalsh_spark.sources.catalog import read_documents
+
+
+def test_flagship_stores_no_deserialized_blocks(spark):
+    docs = read_documents(spark, cached_corpus(300))
+    res = run_dedup(spark, docs, DedupConfig(), checkpoint_root=None)
+    assert res.clusters.count() > 0  # materialize every stage + checkpoint
+
+    infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    stored = [i for i in infos if i.numCachedPartitions() > 0]
+    # the pipeline persists stage boundaries and checkpoints CC state, so
+    # an empty block manager would mean the probe itself went stale
+    assert stored, "expected cached/checkpointed RDD blocks after the run"
+    offenders = [
+        f"{i.name()} (id={i.id()}): {i.storageLevel().description()}"
+        for i in stored
+        if i.storageLevel().deserialized()
+    ]
+    assert not offenders, (
+        "deserialized-level blocks found (heap-OOM risk under spill): "
+        + "; ".join(offenders)
+    )
+    res.release()
