@@ -127,7 +127,11 @@ def main() -> None:
         topk.write.mode("overwrite").parquet(args.output)
         n_rows = spark.read.parquet(args.output).count()
     else:
-        topk = topk.localCheckpoint()  # serialized level is session default here
+        # serialized level per the engine-wide rule (components._CKPT_LEVEL):
+        # the JVM default stores deserialized blocks that re-inflate on read
+        from qalsh_spark.operators.components import _CKPT_LEVEL
+
+        topk = topk.localCheckpoint(True, _CKPT_LEVEL)
         n_rows = topk.count()
     wall = time.time() - t0
 
