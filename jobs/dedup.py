@@ -113,7 +113,12 @@ def main() -> None:
         wall = time.time() - t0
         n_clusters = spark.read.parquet(args.output).select("cluster_id").distinct().count()
     else:
-        clusters = res.clusters.persist()
+        # serialized level per the engine-wide rule (components._CKPT_LEVEL):
+        # at leg scale this caches millions of cluster rows, and the
+        # deserialized JVM default re-inflates spilled blocks on read
+        from qalsh_spark.operators.components import _CKPT_LEVEL
+
+        clusters = res.clusters.persist(_CKPT_LEVEL)
         clusters.write.format("noop").mode("overwrite").save()
         wall = time.time() - t0
         n_clusters = clusters.select("cluster_id").distinct().count()

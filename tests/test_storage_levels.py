@@ -26,6 +26,33 @@ from qalsh_spark.plans.pipeline import run_dedup
 from qalsh_spark.sources.catalog import read_documents
 
 
+def test_no_bare_persist_or_checkpoint_in_source():
+    """Static guard: the runtime check below only exercises the flagship
+    path, so also reject BARE `.persist()` / `.localCheckpoint()` calls
+    (which take the deserialized JVM default) anywhere in the engine or
+    the job entry points.  Every call must pass an explicit level
+    (`_CKPT_LEVEL` or a StorageLevel)."""
+    import os
+    import re
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    bare = re.compile(r"\.(?:persist|localCheckpoint)\(\s*\)")
+    offenders = []
+    for root in ("qalsh_spark", "jobs"):
+        for dirpath, _dirs, files in os.walk(os.path.join(repo, root)):
+            for fn in files:
+                if not fn.endswith(".py"):
+                    continue
+                path = os.path.join(dirpath, fn)
+                for i, line in enumerate(open(path), 1):
+                    if bare.search(line):
+                        offenders.append(f"{path}:{i}: {line.strip()}")
+    assert not offenders, (
+        "bare persist()/localCheckpoint() uses the deserialized JVM default "
+        "(heap-OOM risk under spill — pass _CKPT_LEVEL): " + "; ".join(offenders)
+    )
+
+
 def test_flagship_stores_no_deserialized_blocks(spark):
     docs = read_documents(spark, cached_corpus(300))
     res = run_dedup(spark, docs, DedupConfig(), checkpoint_root=None)
