@@ -63,6 +63,10 @@ def main() -> None:
     ap.add_argument("--json", action="store_true", help="print one JSON metrics line")
     args = ap.parse_args()
 
+    # fail fast, before the Spark session and the full ANN lane run
+    if args.eval and args.k < 100:
+        raise SystemExit("--eval needs --k >= 100 (the TOPKs sweep tops out at 100)")
+
     import pyspark.sql.functions as F
 
     from qalsh_spark.operators.ann import (
@@ -149,16 +153,18 @@ def main() -> None:
 
     if args.eval:
         # the approximate lanes rank by cosine except pstable (l_p); the
-        # sweep's ratio is distance-based and must match the ranking metric
-        sweep_metric = metric if args.algo in ("brute", "blocked", "pstable") else "cosine"
-        approx = (
-            topk
-            if args.k >= 100
-            else None
-        )
-        if approx is None:
-            raise SystemExit("--eval needs --k >= 100 (the TOPKs sweep tops out at 100)")
-        sweep = ann_recall_sweep(emb, queries, approx, metric=sweep_metric)
+        # sweep's ratio is distance-based and must match the ranking metric.
+        # pstable RESOLVES the metric (e.g. 'cosine' -> p=2, an l2 score),
+        # so the sweep must use the resolved l_p — evaluating an l2 ranking
+        # under 1-cosine would make avg_ratio meaningless (even negative).
+        if args.algo == "pstable":
+            p = {"cosine": 2.0, "l2": 2.0, "l1": 1.0}.get(metric, metric)
+            sweep_metric = {2.0: "l2", 1.0: "l1"}.get(float(p), float(p))
+        elif args.algo in ("brute", "blocked"):
+            sweep_metric = metric
+        else:
+            sweep_metric = "cosine"
+        sweep = ann_recall_sweep(emb, queries, topk, metric=sweep_metric)
         metrics["sweep"] = [r.asDict() for r in sweep.orderBy("k").collect()]
 
     if args.json:

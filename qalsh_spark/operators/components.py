@@ -33,7 +33,16 @@ from pyspark.sql import DataFrame
 # adjacency blocks OOM-killed a 24g heap.  The SERIALIZED level streams disk
 # blocks without re-inflation and its memory-store puts reserve bytes up
 # front, degrading to disk reads instead of heap death.
+#
+# NOTE the naming trap: PySpark's StorageLevel.MEMORY_AND_DISK is the
+# SERIALIZED variant (deserialized=False) — it is Scala's
+# MEMORY_AND_DISK_SER, NOT Scala's same-named deserialized level.  The
+# assert pins that so a PySpark version drift or an "equivalent-looking"
+# edit cannot silently reintroduce the deserialized OOM.
 _CKPT_LEVEL = StorageLevel.MEMORY_AND_DISK
+assert not _CKPT_LEVEL.deserialized, (
+    "_CKPT_LEVEL must be a serialized storage level (see OOM note above)"
+)
 
 
 def connected_components(

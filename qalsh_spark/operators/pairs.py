@@ -9,8 +9,10 @@ of l/m — SURVEY.md §2.2 P2); dedup across the bands that both docs share is a
 Skew design (SURVEY.md §4 "skew handling", north-rule mandate) — SINGLE
 exchange, bounded memory at EVERY operator:
   - the bucket stream is hash-exchanged ONCE on (band_key, lane_id) and the
-    shuffled copy is persisted DISK_ONLY (compressed columnar batches on the
-    scratch dirs — never pinned in RAM).  Every consumer below reads that one
+    shuffled copy is persisted at PySpark's serialized MEMORY_AND_DISK level
+    (compressed columnar batches in RAM while they fit, evicted to the
+    scratch dirs under pressure — never re-inflated on read, see
+    components._CKPT_LEVEL).  Every consumer below reads that one
     materialization and, because its grouping keys equal the partitioning
     keys, runs EXCHANGE-FREE: Catalyst's EnsureRequirements sees the
     ClusteredDistribution already satisfied.  (The previous two-pass design

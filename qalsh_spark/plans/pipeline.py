@@ -113,8 +113,10 @@ class DedupPipeline:
         if self.enable_suffix:
             caps["suffix"] = SUFFIX_BUCKET_CAP
         # The operator hash-exchanges the bucket stream once and persists
-        # the shuffled copy DISK_ONLY; every pair-generation consumer reads
-        # that one materialization exchange-free (pairs.py module doc).
+        # the shuffled copy at the serialized MEMORY_AND_DISK level (RAM
+        # while it fits, graceful spill — see pairs.py:122-124); every
+        # pair-generation consumer reads that one materialization
+        # exchange-free (pairs.py module doc).
         return candidate_pairs_from_buckets(
             self.buckets(signatures), caps, persists=persists,
         )

@@ -37,11 +37,11 @@ def emb_fp():
     return fp
 
 
-def _golden_rows(name: str, fp: str, cols: list[str]) -> set:
+def _golden_rows(name: str, fp: str, cols: list[str]) -> list:
     t = pq.read_table(os.path.join(REPO, "golden", f"{name}.parquet"))
     mask = [v == fp for v in t["emb_fp"].to_pylist()]
     rows = zip(*[[v for v, m in zip(t[c].to_pylist(), mask) if m] for c in cols])
-    return set(tuple(r) for r in rows)
+    return sorted(tuple(r) for r in rows)
 
 
 @pytest.mark.parametrize(
@@ -57,10 +57,12 @@ def _golden_rows(name: str, fp: str, cols: list[str]) -> set:
 def test_spark_matches_frozen_golden(spark, emb_fp, name, cols):
     from qalsh_spark.queries import QUERIES
 
-    got = {
+    # sorted-list (multiset) comparison, not sets: a set would collapse
+    # duplicated result rows and let a wrong-multiplicity output pass
+    got = sorted(
         tuple(getattr(row, c) for c in cols)
         for row in QUERIES[name](spark, SF).collect()
-    }
+    )
     want = _golden_rows(name, emb_fp, cols)
     assert want, f"golden table {name} has no rows for this corpus"
     assert got == want
