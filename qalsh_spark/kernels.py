@@ -358,6 +358,19 @@ def pstable_alpha(p: float, t1: float, c: float = 2.0) -> float:
     return (eta * p1 + p2) / (1.0 + eta)
 
 
+def pstable_cells_matrix(
+    X: np.ndarray, planes: np.ndarray, offsets: np.ndarray, w: float
+) -> np.ndarray:
+    """(n, d) float matrix -> (n, m) int64 RAW quantized cells
+    cell_i = floor((a_i . x + b_i) / w) — unmixed, so cell arithmetic
+    survives: an arithmetic right shift by r is exact floor division by
+    2^r (floor(x/(w*2^r)) == floor(floor(x/w) / 2^r)), which is what the
+    virtual-rehashing lane exploits to double the radius WITHOUT
+    re-projecting the data (the batch analog of the reference widening
+    its B+-tree search window in place, methods/qalsh.h:844-871)."""
+    return np.floor((X @ planes.T + offsets[None, :]) / w).astype(np.int64)
+
+
 def pstable_band_keys_matrix(
     X: np.ndarray,
     planes: np.ndarray,
@@ -371,7 +384,7 @@ def pstable_band_keys_matrix(
     one mixed 64-bit key (same fold discipline as band_hashes_matrix, band
     index mixed in so cross-band keys never collide)."""
     n = X.shape[0]
-    cells = np.floor((X @ planes.T + offsets[None, :]) / w).astype(np.int64)
+    cells = pstable_cells_matrix(X, planes, offsets, w)
     cc = cells.view(np.uint64).reshape(n, bands, rows)
     with np.errstate(over="ignore"):
         h = np.full((n, bands), _M1, dtype=np.uint64)

