@@ -157,3 +157,25 @@ def test_jaccard_sorted():
     b = np.array([3, 4, 5, 6], dtype=np.uint64)
     assert K.jaccard_sorted(a, b) == pytest.approx(2 / 6)
     assert K.jaccard_sorted(np.empty(0, np.uint64), np.empty(0, np.uint64)) == 1.0
+
+
+def test_jaccard_sorted_property_vs_python_sets():
+    """Property-pin the scalar kernel against pure-Python set arithmetic
+    (the verify stage's golden-edge parity rides on this kernel)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(st.integers(-(2**62), 2**62), max_size=30, unique=True),
+        st.lists(st.integers(-(2**62), 2**62), max_size=30, unique=True),
+    )
+    def check(xs, ys):
+        a = np.array(sorted(xs), np.int64)
+        b = np.array(sorted(ys), np.int64)
+        got = K.jaccard_sorted(a, b)
+        sa, sb = set(xs), set(ys)
+        want = 1.0 if not (sa | sb) else len(sa & sb) / len(sa | sb)
+        assert got == want, (xs, ys, got, want)
+
+    check()
