@@ -264,3 +264,49 @@ def test_ann_sweep_overall_ratio(spark, emb_df):
         assert r["avg_ratio"] is not None, r
         assert r["avg_ratio"] >= 1.0 - 1e-6, r
         assert r["avg_ratio"] <= 2.0, f"ratio guarantee violated: {r}"
+
+
+def test_qalsh_plus_in_cell_filter_sublinear_and_recall(spark, emb_df):
+    """Within-cell p-stable filter (reference builds a QALSH index INSIDE
+    each kd-block, methods/qalsh_plus.h:201-207): with in_cell_w set, the
+    rows reaching the exact kernel must be MEASURABLY fewer than probed-
+    cell membership (the sublinear-within-block composition for huge
+    cells), while recall stays at the UNFILTERED lane's level (n_cells=4 /
+    nprobe=2 caps recall via cell misses; the filter must not lower it
+    further).  w scales the data's median 10th-NN l2 radius by the
+    reference's tuned unit width, exactly like the pstable lane tests.
+    Measured: selectivity 0.52 at m=32, l=16 with recall identical to
+    filter-off (0.66 on the 4000x64 planted set)."""
+    import math
+
+    from qalsh_spark.operators.drusilla import qalsh_plus_topk
+
+    queries = emb_df.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    truth_rows = brute_force_topk(emb_df, F.broadcast(queries), k=10).collect()
+    t = {(r["qid"], r["neighbor_id"]) for r in truth_rows}
+    kth_l2 = [
+        math.sqrt(max(0.0, 2.0 - 2.0 * r["score"]))
+        for r in truth_rows
+        if r["rank"] == 10
+    ]
+    w = float(np.median(kth_l2)) * K.pstable_w(2.0, 2.0)
+    base: dict = {}
+    off = qalsh_plus_topk(
+        emb_df, queries, k=10, n_cells=4, nprobe=2, n_proj=4, n_cand=8,
+        diagnostics=base,
+    )
+    recall_off = len(t & {(r["qid"], r["neighbor_id"]) for r in off.collect()}) / len(t)
+    diag: dict = {}
+    approx = qalsh_plus_topk(
+        emb_df, queries, k=10, n_cells=4, nprobe=2, n_proj=4, n_cand=8,
+        in_cell_w=w, in_cell_m=32, in_cell_min_collisions=16,
+        diagnostics=diag,
+    )
+    a = {(r["qid"], r["neighbor_id"]) for r in approx.collect()}
+    recall_on = len(t & a) / len(t)
+    assert recall_on >= recall_off - 0.05, (recall_on, recall_off)
+    assert diag["n_probed_members"] == base["n_probed_members"]
+    assert diag["n_rescored"] < 0.7 * diag["n_probed_members"], diag
+    assert diag["n_rescored"] >= 10 * 20  # enough to fill every top-10
