@@ -50,6 +50,11 @@ def main() -> None:
                     " override for your data's distance scale (or pass --w)")
     ap.add_argument("--w", type=float, default=None,
                     help="pstable only: bucket width directly (overrides --radius)")
+    ap.add_argument("--max-rounds", type=int, default=0,
+                    help="pstable only: virtual-rehashing rounds (0 = single "
+                    "pass); each round doubles the bucket width for queries "
+                    "not yet certified by the reference's kth-dist <= c*R "
+                    "stop rule")
     ap.add_argument("--n-queries", type=int, default=10,
                     help="first N vectors double as the query set (or use --queries)")
     ap.add_argument("--queries", default=None,
@@ -119,8 +124,10 @@ def main() -> None:
         topk = lsh_topk(emb, queries, k=args.k)
     elif args.algo == "pstable":
         p = {"cosine": 2.0, "l2": 2.0, "l1": 1.0}.get(metric, metric)
+        rehash_persists: list = []
         topk = pstable_topk(
-            emb, queries, k=args.k, p=float(p), w=args.w, radius=args.radius
+            emb, queries, k=args.k, p=float(p), w=args.w, radius=args.radius,
+            max_rounds=args.max_rounds, persists=rehash_persists,
         )
     elif args.algo == "ivf":
         topk = ivf_topk(emb, queries, k=args.k)
@@ -138,6 +145,11 @@ def main() -> None:
         topk = topk.localCheckpoint(True, _CKPT_LEVEL)
         n_rows = topk.count()
     wall = time.time() - t0
+    if args.algo == "pstable":
+        # release the rehash rounds' per-round caches (the result is
+        # already written / checkpointed, so lineage no longer needs them)
+        for df in rehash_persists:
+            df.unpersist()
 
     metrics: dict = {
         "algo": args.algo,

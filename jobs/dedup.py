@@ -108,21 +108,21 @@ def main() -> None:
         enable_simhash=not args.no_simhash,
         escalate=args.escalate,
     )
-    if args.output:
-        res.clusters.write.mode("overwrite").parquet(args.output)
-        wall = time.time() - t0
-        n_clusters = spark.read.parquet(args.output).select("cluster_id").distinct().count()
-    else:
-        # serialized level per the engine-wide rule (components._CKPT_LEVEL):
-        # at leg scale this caches millions of cluster rows, and the
-        # deserialized JVM default re-inflates spilled blocks on read
-        from qalsh_spark.operators.components import _CKPT_LEVEL
+    # serialized level per the engine-wide rule (components._CKPT_LEVEL):
+    # at leg scale this caches millions of cluster rows, and the
+    # deserialized JVM default re-inflates spilled blocks on read.  Both
+    # branches persist-then-count so n_clusters never costs a second full
+    # pass over the written output.
+    from qalsh_spark.operators.components import _CKPT_LEVEL
 
-        clusters = res.clusters.persist(_CKPT_LEVEL)
+    clusters = res.clusters.persist(_CKPT_LEVEL)
+    if args.output:
+        clusters.write.mode("overwrite").parquet(args.output)
+    else:
         clusters.write.format("noop").mode("overwrite").save()
-        wall = time.time() - t0
-        n_clusters = clusters.select("cluster_id").distinct().count()
-        clusters.unpersist()
+    wall = time.time() - t0
+    n_clusters = clusters.select("cluster_id").distinct().count()
+    clusters.unpersist()
     res.release()
 
     beans = spark.sparkContext._jvm.java.lang.management.ManagementFactory.getGarbageCollectorMXBeans()
