@@ -1092,6 +1092,12 @@ FROM read_parquet('/root/repo/golden/pstable_ann_topk.parquet')
 WHERE emb_fp = {_EMB_FP_SQL}
 """
 
+SQL_PSTABLE_REHASH_ANN_TOPK = f"""
+SELECT qid, neighbor_id, l2, rank
+FROM read_parquet('/root/repo/golden/pstable_rehash_ann_topk.parquet')
+WHERE emb_fp = {_EMB_FP_SQL}
+"""
+
 SQL_ANN_RECALL_EVAL = f"""
 SELECT k, n_queries, avg_recall, avg_ratio
 FROM read_parquet('/root/repo/golden/ann_recall_eval.parquet')
@@ -1205,6 +1211,28 @@ def q_pstable_ann_topk(spark, sf_dir):
     ).select("qid", "neighbor_id", F.round("score", 3).alias("l2"), "rank")
 
 
+def q_pstable_rehash_ann_topk(spark, sf_dir):
+    """Golden-oracle checked: the p-stable lane's VIRTUAL-REHASHING loop
+    (operators/ann.py _pstable_rehash_topk — the reference's geometric
+    radius growth + kth <= c*R stop rule, methods/qalsh.h:844-871 and
+    478-479) started at w0 = 0.8, a quarter of the single-pass lane's
+    width, so the early rounds genuinely under-fill and the loop runs.
+    The oracle is the frozen NumPy replay of the same round/certificate
+    semantics in scripts/make_golden.build_ann_lanes.  Recall floors for
+    the rehash live in tests/test_pstable.py on the reference's Mnist."""
+    from qalsh_spark.operators.ann import pstable_topk
+
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return pstable_topk(
+        emb, queries, k=5, p=2.0, w=0.8, m=32, min_collisions=16, max_rounds=6
+    ).select("qid", "neighbor_id", F.round("score", 3).alias("l2"), "rank")
+
+
 def q_embedding_near_dup(spark, sf_dir):
     """SRP-bucketed near-dup pairs, golden-oracle checked (LSH discovery is
     not directly SQL-expressible, so the oracle is the frozen single-process
@@ -1270,6 +1298,7 @@ QUERIES: dict[str, SparkQuery] = {
     "ivf_ann_topk": q_ivf_ann_topk,
     "qalsh_plus_ann_topk": q_qalsh_plus_ann_topk,
     "pstable_ann_topk": q_pstable_ann_topk,
+    "pstable_rehash_ann_topk": q_pstable_rehash_ann_topk,
     "embedding_near_dup": q_embedding_near_dup,
 }
 
@@ -1314,5 +1343,6 @@ ORACLE_SQL: dict[str, str] = {
     "ivf_ann_topk": SQL_IVF_ANN_TOPK,
     "qalsh_plus_ann_topk": SQL_QALSH_PLUS_ANN_TOPK,
     "pstable_ann_topk": SQL_PSTABLE_ANN_TOPK,
+    "pstable_rehash_ann_topk": SQL_PSTABLE_REHASH_ANN_TOPK,
     "ann_recall_eval": SQL_ANN_RECALL_EVAL,
 }

@@ -373,6 +373,47 @@ def build_ann_lanes(sf_dir: str) -> dict[str, pa.Table]:
         fp, topk_rows(ps_cand, _l2_spark64, 5, desc=False), "l2"
     )
 
+    # --- pstable_rehash_ann_topk: the virtual-rehashing lane
+    # (operators/ann.py _pstable_rehash_topk) at a deliberately small
+    # w0 = 0.8 (1/4 of the single-pass lane's 3.2, so the first rounds
+    # under-fill and the loop is actually exercised).  Raw floor cells
+    # once, arithmetic >> r per round, candidates = collision count >= 16,
+    # exact l2 rescoring, certificate kth <= c * radius * 2^r
+    # (c=2, radius = w0 / pstable_w), max 6 rounds — the reference's
+    # geometric radius growth + stop rule (methods/qalsh.h:844-871,
+    # 478-479) in frozen NumPy form.
+    w0, m_r, l_r, c_r, max_r = 0.8, 32, 16, 2.0, 6
+    rplanes = K.pstable_planes(m_r, d, 2.0, 6)
+    roffs = K.pstable_offsets(m_r, w0, 6)
+    rcells = K.pstable_cells_matrix(X, rplanes, roffs, w0)
+    radius0 = w0 / K.pstable_w(c_r, 2.0)
+    pending_rows = [int(qi) for qi in qsel]
+    rh_rows: list[tuple] = []
+    for rr in range(max_r):
+        if not pending_rows:
+            break
+        shifted = rcells >> rr
+        cert = c_r * radius0 * (2.0**rr)
+        still = []
+        for qi in pending_rows:
+            coll = (shifted == shifted[qi][None, :]).sum(axis=1)
+            cidx = np.nonzero(coll >= l_r)[0]
+            scored = (
+                _rank_topk(ids[cidx], _l2_spark64(X[qi], X[cidx]), 5, desc=False)
+                if len(cidx)
+                else []
+            )
+            certified = len(scored) >= 5 and scored[-1][1] <= cert
+            if certified or rr == max_r - 1:
+                rh_rows.extend(
+                    (int(ids[qi]), nid, _spark_round(s, 3), rk)
+                    for nid, s, rk in scored
+                )
+            else:
+                still.append(qi)
+        pending_rows = still
+    out["pstable_rehash_ann_topk"] = _ann_table(fp, rh_rows, "l2")
+
     # --- ivf_ann_topk: seeded-sample centroids (first-1024-by-id sample,
     # rng(6) choice), nearest-cell assign, nprobe=4, cosine rescore
     def centroids(n_cells):
