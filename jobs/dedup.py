@@ -107,6 +107,9 @@ def main() -> None:
         enable_suffix=not args.no_suffix,
         enable_simhash=not args.no_simhash,
         escalate=args.escalate,
+        # already counted above; bounds the signing stage's per-partition
+        # row budget so per-task memory doesn't grow as 1/cores
+        rows_hint=n_docs,
     )
     # serialized level per the engine-wide rule (components._CKPT_LEVEL):
     # at leg scale this caches millions of cluster rows, and the

@@ -71,6 +71,11 @@ def ensure_text(documents: DataFrame) -> DataFrame:
     return df.withColumn("text", F.coalesce(F.col("text"), F.lit("")))
 
 
+# Per-partition row budget for the signing stage when the caller supplies a
+# row-count hint (see the repartition note in sign_documents): ~62.5k docs
+# x (~2.2 KB text + ~1.5 KB signatures) ~ 250 MB of per-task state.
+_SIGN_ROWS_PER_PARTITION = 62_500
+
 _SIGNATURE_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -158,10 +163,16 @@ def with_doc_id(documents: DataFrame) -> DataFrame:
     return documents.withColumn("doc_id", doc_id_expr(F.col("url")))
 
 
-def sign_documents(documents: DataFrame, cfg: DedupConfig) -> DataFrame:
+def sign_documents(
+    documents: DataFrame, cfg: DedupConfig, rows_hint: int | None = None
+) -> DataFrame:
     """documents(url, warc_ts, html?, text, lang) -> signatures table
     (FIXTURES.md §2 + suffix-lane columns).  If `text` is null/absent it is
-    extracted from `html` (stage 2 'extract' of SURVEY.md §3.4)."""
+    extracted from `html` (stage 2 'extract' of SURVEY.md §3.4).
+
+    `rows_hint`: approximate input row count, if the caller knows it (the
+    batch job counts its input anyway).  Bounds the signing stage's
+    per-partition ROW budget — see the repartition note below."""
     cols = set(documents.columns)
     df = ensure_text(documents)
     if "warc_ts" not in cols:
@@ -181,8 +192,25 @@ def sign_documents(documents: DataFrame, cfg: DedupConfig) -> DataFrame:
     # python-worker jitter.  The trigger is the source FILE count (cheap
     # listing — no .rdd plan conversion): a big corpus arrives as many
     # files and skips the repartition entirely.
+    #
+    # The target is ALSO floored by a per-partition ROW budget, because a
+    # core-count-only target couples per-task memory to 1/cores: the
+    # pipeline persists the signing output one cache block per partition,
+    # and in the batch pipeline this input is the CACHED `prepared` stage,
+    # for which inputFiles() returns [] (InMemoryRelation replaces the file
+    # scan), so the repartition ALWAYS fires with exactly `target`
+    # partitions.  At the 4M-doc scaling leg on local[2] that meant 6
+    # partitions of ~667k docs (~2 GB serialized signatures per block) and
+    # a heap OOM at the per-core-fair 8g heap mid cache-write + shuffle
+    # (BENCH/logs/leg2-fail-1787124371.stderr, stage 7 =
+    # RoundRobinPartitioning(6) -> MapInPandas).  62.5k rows/partition keeps
+    # every in-flight unit (Arrow batch chain + one cache block ~200-300 MB)
+    # bounded REGARDLESS of cluster size — the same rule that keeps a
+    # 3 GB/core executor safe at 100 TB.
     if not narrow.isStreaming:
         target = 3 * narrow.sparkSession.sparkContext.defaultParallelism
+        if rows_hint:
+            target = max(target, -(-int(rows_hint) // _SIGN_ROWS_PER_PARTITION))
         if len(narrow.inputFiles()) < target:
             narrow = narrow.repartition(target)
     return narrow.mapInPandas(_sign_batches(cfg), schema=_SIGNATURE_SCHEMA)

@@ -72,8 +72,13 @@ class DedupPipeline:
         enable_simhash: bool = True,
         escalate: bool = False,
         escalate_drop: float = 0.15,
+        rows_hint: int | None = None,
     ):
         self.cfg = cfg or DedupConfig()
+        # Approximate input row count if the caller knows it (jobs/dedup.py
+        # counts its input anyway) — bounds the signing stage's per-partition
+        # row budget (functions/signatures.py).
+        self.rows_hint = rows_hint
         self.catalog = catalog
         self.enable_suffix = enable_suffix
         self.enable_simhash = enable_simhash
@@ -90,7 +95,7 @@ class DedupPipeline:
 
     # -- stages ----------------------------------------------------------
     def sign(self, documents: DataFrame) -> DataFrame:
-        return sign_documents(documents, self.cfg)
+        return sign_documents(documents, self.cfg, rows_hint=self.rows_hint)
 
     def buckets(self, signatures: DataFrame) -> DataFrame:
         return explode_all_bands(

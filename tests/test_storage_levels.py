@@ -73,3 +73,30 @@ def test_flagship_stores_no_deserialized_blocks(spark):
         + "; ".join(offenders)
     )
     res.release()
+
+
+def test_sign_partition_count_bounded_by_row_budget(spark):
+    """The signing stage must bound per-partition rows when the input row
+    count is known: a core-count-only repartition target packed 4M docs into
+    6 partitions at local[2] (the cached `prepared` input makes inputFiles()
+    return [], so the repartition ALWAYS fires) and OOM'd the 8g scaling leg
+    (BENCH/logs/leg2-fail-1787124371.stderr).  With rows_hint the target is
+    max(3*parallelism, ceil(rows / 62_500)) regardless of core count."""
+    from qalsh_spark.functions.signatures import (
+        _SIGN_ROWS_PER_PARTITION,
+        sign_documents,
+    )
+
+    docs = read_documents(spark, cached_corpus(300))
+    cores = spark.sparkContext.defaultParallelism
+
+    # hint dominates: 4M docs -> 64 partitions even on a tiny local master
+    signed = sign_documents(docs.select("url", "text"), DedupConfig(),
+                            rows_hint=4_000_000)
+    want = max(3 * cores, -(-4_000_000 // _SIGN_ROWS_PER_PARTITION))
+    assert signed.rdd.getNumPartitions() == want
+
+    # small hint degrades to the parallelism target (unchanged behavior)
+    signed_small = sign_documents(docs.select("url", "text"), DedupConfig(),
+                                  rows_hint=300)
+    assert signed_small.rdd.getNumPartitions() == 3 * cores
