@@ -24,6 +24,11 @@
 # stage-times profile (scripts/stage_times.py) and is the fallback if the
 # 5M pair lands under 0.8.
 #
+# The 5M-doc corpus is PRE-GENERATED (round 4 end:
+# .cache/corpusp_n5000000_s42, _COMPLETE marker present) — the legs start
+# measuring immediately; bench_scaling regenerates it only if the marker
+# is missing.
+#
 # Protocol (BENCH/BASELINE.md): leg2 first (longest), then leg8, back to
 # back in ONE window so the probes bracket both; finalize checks
 # pair_window_balanced (probe@2 vs probe@8 per-core within ~10%).
