@@ -45,6 +45,24 @@ assert not _CKPT_LEVEL.deserialized, (
 )
 
 
+def _release_checkpoint(df: DataFrame) -> None:
+    """Deterministically free a localCheckpoint'd DataFrame's backing RDD.
+
+    DataFrame.unpersist() is a no-op for checkpoints (the data lives in a
+    persisted RDD wrapped by a LogicalRDD, not in the SQL cache manager), so
+    a superseded checkpoint otherwise lingers until the ContextCleaner's
+    weak-reference sweep — an O(iterations) cache bound instead of O(1).
+    Unpersisting the LogicalRDD's RDD is safe ONLY once nothing will read
+    the frame again: a local checkpoint has no lineage to recompute from.
+    """
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            plan.rdd().unpersist(False)
+    except Exception:
+        pass  # best-effort: worst case we fall back to the ContextCleaner
+
+
 def connected_components(
     edges: DataFrame, max_iter: int = 50, verbose: bool = False
 ) -> DataFrame:
@@ -118,12 +136,19 @@ def connected_components(
             .localCheckpoint(True, _CKPT_LEVEL)
         )
         new_sum = _label_sum(new_labels)
+        # The superseded labels checkpoint is dead the moment new_labels is
+        # materialized (eager ckpt) — release it now so the loop caches at
+        # most 2 labels RDDs (prev + new) at any instant, deterministically,
+        # instead of O(iterations) frames awaiting the ContextCleaner.
+        _release_checkpoint(labels)
         labels = new_labels
         if verbose:
             print(f"[cc] iter={it} sum={new_sum} t={_time.time()-_t0:.1f}s")
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
+    # sym is not referenced by the returned (checkpointed) labels frame.
+    _release_checkpoint(sym)
     return labels.withColumnRenamed("label", "cluster_id")
 
 

@@ -39,6 +39,17 @@ if [ ! -d "$WT" ]; then
   git worktree add "$WT" HEAD || exit 1
   mkdir -p "$WT/BENCH"
   cp BENCH/runs_ledger.jsonl "$WT/BENCH/" 2>/dev/null || true
+else
+  # A surviving worktree from an earlier run would otherwise silently measure
+  # its OLD commit while the runbook asserts both legs run at HEAD.
+  git -C "$WT" fetch --quiet . HEAD 2>/dev/null
+  git -C "$WT" reset --hard "$(git rev-parse HEAD)" || exit 1
+fi
+MAIN_REV=$(git rev-parse HEAD)
+WT_REV=$(git -C "$WT" rev-parse HEAD)
+if [ "$MAIN_REV" != "$WT_REV" ]; then
+  echo "worktree rev $WT_REV != main HEAD $MAIN_REV — aborting" >&2
+  exit 1
 fi
 cd "$WT"
 LOG=/root/repo/BENCH/legs_r5.log

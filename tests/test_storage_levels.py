@@ -75,6 +75,39 @@ def test_flagship_stores_no_deserialized_blocks(spark):
     res.release()
 
 
+def test_cc_releases_superseded_checkpoints(spark):
+    """connected_components must release each superseded labels checkpoint
+    (and the adjacency) deterministically instead of leaving O(iterations)
+    checkpointed RDDs for the ContextCleaner: on a path graph that needs
+    several min-propagation rounds, exactly ONE new cached RDD (the final
+    labels checkpoint) may remain after the call returns.  Parity is
+    asserted against the trivial oracle (a path is one component labeled by
+    its min vertex)."""
+    from qalsh_spark.operators.components import connected_components
+
+    def cached_ids():
+        infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        return {i.id() for i in infos if i.numCachedPartitions() > 0}
+
+    before = cached_ids()
+    # path 0-1-2-...-29: diameter 29 -> several iterations even with
+    # doubling-style min propagation; single component labeled 0.
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(29)], "a long, b long"
+    )
+    comps = connected_components(edges)
+    rows = comps.collect()
+    assert {r["doc_id"] for r in rows} == set(range(30))
+    assert {r["cluster_id"] for r in rows} == {0}
+
+    leaked = cached_ids() - before
+    assert len(leaked) <= 1, (
+        "connected_components left more than the final labels checkpoint "
+        f"cached (leaked RDD ids: {sorted(leaked)}) — superseded per-"
+        "iteration checkpoints must be released inside the loop"
+    )
+
+
 def test_sign_partition_count_bounded_by_row_budget(spark):
     """The signing stage must bound per-partition rows when the input row
     count is known: a core-count-only repartition target packed 4M docs into
