@@ -533,22 +533,34 @@ def _pstable_rehash_topk(
     Both sides are signed ONCE with raw floor cells; round r's bucket is
     `shiftright(cell, r)` — exact floor division by 2^r, i.e. the same
     grid at width w * 2^r — so no round ever re-projects or re-scans the
-    raw vectors for signing.  Plan shape per round: the pending query
-    cells broadcast (queries are small by protocol, and shrink each
-    round), the big side is touched map-side only, the lone wide exchange
-    is the groupBy(qid, vec_id) collision counter over slim collision
-    rows, and exact rescoring touches the filtered candidates only.  The
-    per-round top-k frame is persisted serialized (PySpark's
-    MEMORY_AND_DISK) because it has two consumers — the (n, kth-distance)
-    certificate aggregate and the final result union — and is handed to
-    `persists` for caller-side cleanup.  Driver-side state is one qid
-    list plus one (n, kth) row per pending query and round — small by the
-    same protocol that justifies broadcasting the query keys.
+    raw vectors for signing: the exploded vector cells are persisted
+    serialized (PySpark's MEMORY_AND_DISK) before the loop, and every
+    round's discovery join reads that one materialization.  Plan shape
+    per round: the pending query cells broadcast (queries are small by
+    protocol, and shrink each round), the big side is touched map-side
+    only, the lone wide exchange is the groupBy(qid, vec_id) collision
+    counter over slim collision rows, and exact rescoring touches the
+    filtered candidates only.  The per-round top-k frame is persisted
+    because it has three consumers — the certificate filter, the result
+    union, and the next round's pending derivation.
+
+    NO driver-side per-query state: the pending set is a DataFrame (one
+    qid per row, persisted + eagerly counted for loop control — the same
+    shape as the minhash escalation in plans/pipeline.py), certification
+    is a distributed filter over the per-round top-k, and the next
+    round's pending set is a left_anti join.  The only per-round driver
+    value is the scalar pending count, so a 10^5-query batch never
+    embeds qid literals in the plan or collects per-query rows
+    (tests/test_pstable.py::test_pstable_rehash_10k_queries).
 
     Stop rule per query (reference methods/qalsh.h:478-479): certified at
     round r iff it has >= k exactly-scored candidates AND the k-th best
     true distance <= c * R_r, R_r = radius * 2^r; the emitted top-k rows
-    are that round's.  Uncertified queries at the cap emit best-so-far."""
+    are that round's.  Uncertified queries at the cap emit best-so-far.
+
+    Every frame this loop persists (vector cells, per-round top-k,
+    per-round pending sets) is appended to `persists` for caller-side
+    unpersist once the result is materialized."""
     from pyspark import StorageLevel
 
     if radius is None:
@@ -557,7 +569,9 @@ def _pstable_rehash_topk(
     vcells = vectors.select(
         F.col(id_col).alias("vec_id"),
         F.posexplode(sign(F.col(vec_col))).alias("j", "cell"),
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    if persists is not None:
+        persists.append(vcells)
     qcells = queries.select(
         F.col(qid_col).alias("qid"),
         F.posexplode(sign(F.col(qvec_col))).alias("j", "qcell"),
@@ -565,15 +579,19 @@ def _pstable_rehash_topk(
     vpts = vectors.select(F.col(id_col).alias("vec_id"), vec_col)
     qpts = queries.select(F.col(qid_col).alias("qid"), qvec_col)
     w_rank = Window.partitionBy("qid").orderBy(F.asc("score"), F.asc("neighbor_id"))
-    pending = [
-        r.qid
-        for r in queries.select(F.col(qid_col).alias("qid")).distinct().collect()
-    ]
+    pending = (
+        queries.select(F.col(qid_col).alias("qid"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    if persists is not None:
+        persists.append(pending)
+    n_pending = pending.count()
     taken = []
     for r in range(max_rounds):
-        if not pending:
+        if n_pending == 0:
             break
-        qk = qcells.filter(F.col("qid").isin(pending)).select(
+        qk = qcells.join(F.broadcast(pending), on="qid").select(
             "qid", "j", F.shiftright("qcell", r).alias("cellr")
         )
         cand_r = (
@@ -598,26 +616,29 @@ def _pstable_rehash_topk(
         )
         if persists is not None:
             persists.append(topk_r)
-        stats = {
-            row["qid"]: (row["n"], row["kth"])
-            for row in topk_r.groupBy("qid")
-            .agg(F.count("*").alias("n"), F.max("score").alias("kth"))
-            .collect()
-        }
+        if r == max_rounds - 1:
+            # cap reached: every still-pending query emits best-so-far
+            # (topk_r is already restricted to pending qids by the qk join)
+            taken.append(topk_r)
+            break
+        # the reference's certificate (methods/qalsh.h:478-479) as a
+        # distributed filter: >= k exact candidates AND kth <= c * R_r
         cert_r = c * radius * (2.0**r)
-        last = r == max_rounds - 1
-        done = (
-            pending
-            if last
-            else [
-                q
-                for q in pending
-                if q in stats and stats[q][0] >= k and stats[q][1] <= cert_r
-            ]
+        done_q = (
+            topk_r.groupBy("qid")
+            .agg(F.count("*").alias("n"), F.max("score").alias("kth"))
+            .filter((F.col("n") >= k) & (F.col("kth") <= F.lit(float(cert_r))))
+            .select("qid")
         )
-        if done:
-            taken.append(topk_r.filter(F.col("qid").isin(done)))
-        pending = [q for q in pending if q not in set(done)]
+        taken.append(topk_r.join(F.broadcast(done_q), on="qid", how="left_semi"))
+        pending = pending.join(done_q, on="qid", how="left_anti").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        if persists is not None:
+            persists.append(pending)
+        # loop control: ONE scalar action per round (also populates this
+        # round's topk cache, which done_q and the result union re-read)
+        n_pending = pending.count()
     if not taken:
         # no queries at all: empty frame with the result schema
         return (

@@ -1228,9 +1228,21 @@ def q_pstable_rehash_ann_topk(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
-    return pstable_topk(
-        emb, queries, k=5, p=2.0, w=0.8, m=32, min_collisions=16, max_rounds=6
-    ).select("qid", "neighbor_id", F.round("score", 3).alias("l2"), "rank")
+    # Small result localCheckpoint-materialized so the loop's per-round
+    # caches (vector cells + up to 6 top-k/pending frames) are released
+    # before the query returns — same cache hygiene as token_jaccard.
+    persists: list = []
+    out = (
+        pstable_topk(
+            emb, queries, k=5, p=2.0, w=0.8, m=32, min_collisions=16,
+            max_rounds=6, persists=persists,
+        )
+        .select("qid", "neighbor_id", F.round("score", 3).alias("l2"), "rank")
+        .localCheckpoint(True, _CKPT_LEVEL)
+    )
+    for df in persists:
+        df.unpersist()
+    return out
 
 
 def q_embedding_near_dup(spark, sf_dir):

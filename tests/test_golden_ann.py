@@ -51,6 +51,7 @@ def _golden_rows(name: str, fp: str, cols: list[str]) -> list:
         ("ivf_ann_topk", ["qid", "neighbor_id", "cos", "rank"]),
         ("qalsh_plus_ann_topk", ["qid", "neighbor_id", "cos", "rank"]),
         ("pstable_ann_topk", ["qid", "neighbor_id", "l2", "rank"]),
+        ("pstable_rehash_ann_topk", ["qid", "neighbor_id", "l2", "rank"]),
         ("ann_recall_eval", ["k", "n_queries", "avg_recall", "avg_ratio"]),
     ],
 )

@@ -225,10 +225,63 @@ def test_pstable_rehash_discovery_broadcasts_query_cells(spark, mnist):
         max_rounds=2, persists=ps,
     )
     assert ps, "rehash path must register its per-round persists"
-    round_plan = ps[0]._jdf.queryExecution().optimizedPlan().toString()
+    # persists = [vcells, pending0, topk0, pending1?, topk1, ...]: pick the
+    # per-round top-k frames by their result schema
+    rounds = [df for df in ps if "rank" in df.columns]
+    assert rounds, "per-round top-k frames must be registered"
+    round_plan = rounds[0]._jdf.queryExecution().optimizedPlan().toString()
     assert "BroadcastHashJoin" in round_plan, round_plan
     assert "Exchange hashpartitioning(cellr" not in round_plan, round_plan
+    # the pending set must ride as a broadcast JOIN, never as qid literals
+    # baked into the plan (the r4 design collected qids and used isin)
+    assert " IN (" not in round_plan and "isin" not in round_plan, round_plan
     final_plan = out._jdf.queryExecution().executedPlan().toString()
     assert "InMemoryTableScan" in final_plan, final_plan
     for df in ps:
         df.unpersist()
+
+
+def test_pstable_rehash_10k_queries(spark):
+    """Scale smoke for the DataFrame pending-set design: a 10,000-query
+    batch through the rehash loop must complete without embedding qid
+    literals in any plan or collecting per-query rows on the driver
+    (driver state per round = ONE scalar count).  Synthetic data (no
+    Mnist needed): 500 gaussian vectors, queries = the vectors cycled
+    with small perturbations, so true neighbors exist.  Asserts
+    completion, per-query row-count contract (<= k), coverage (>= 99% of
+    qids answered at the widest grid), and self-recall on the unperturbed
+    prefix (each of the first 500 queries IS a data point, so its
+    nearest neighbor at the final width must be itself for nearly all)."""
+    import pandas as pd
+
+    from qalsh_spark.operators.ann import pstable_topk
+
+    rng = np.random.default_rng(7)
+    n, nq, d, k = 500, 10000, 8, 3
+    X = rng.standard_normal((n, d))
+    Q = X[np.arange(nq) % n] + 0.01 * rng.standard_normal((nq, d))
+    vec = spark.createDataFrame(
+        pd.DataFrame({"vec_id": np.arange(n), "embedding": list(X)})
+    ).repartition(8)
+    q = spark.createDataFrame(
+        pd.DataFrame({"qid": np.arange(nq), "qvec": list(Q)})
+    ).repartition(8)
+    ps: list = []
+    out = pstable_topk(
+        vec, q, k=k, p=2.0, w=1.0, m=8, min_collisions=2,
+        max_rounds=4, persists=ps,
+    )
+    rows = out.collect()
+    for df in ps:
+        df.unpersist()
+    per_q: dict[int, list] = {}
+    for r in rows:
+        per_q.setdefault(r["qid"], []).append((r["rank"], r["neighbor_id"]))
+    assert len(per_q) >= 0.99 * nq, f"only {len(per_q)}/{nq} queries answered"
+    assert all(len(v) <= k for v in per_q.values())
+    self_hits = sum(
+        1
+        for qi in range(n)
+        if qi in per_q and min(per_q[qi])[1] == qi
+    )
+    assert self_hits >= 0.95 * n, f"self-recall {self_hits}/{n}"
