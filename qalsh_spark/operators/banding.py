@@ -30,7 +30,13 @@ from qalsh_spark import kernels as K
 LANE_MINHASH = 0
 LANE_SIMHASH = 1
 LANE_SUFFIX = 2
-LANE_NAMES = {LANE_MINHASH: "minhash", LANE_SIMHASH: "simhash", LANE_SUFFIX: "suffix"}
+LANE_EMBED = 3  # SRP buckets over embeddings (operators/dedup.py)
+LANE_NAMES = {
+    LANE_MINHASH: "minhash",
+    LANE_SIMHASH: "simhash",
+    LANE_SUFFIX: "suffix",
+    LANE_EMBED: "embed",
+}
 
 
 def lane_name_col(lane_id_col):

@@ -113,22 +113,43 @@ def embedding_near_dup_pairs(
     m: int = 16,
     bands: int = 4,
     seed: int = 6,
+    bucket_cap: int = 64,
+    persists: list | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: SRP-LSH bucket join for
     candidates, exact cosine verify (same collide-then-verify shape as the
     document pipeline). Returns (a, b, cos) with a < b, cos >= threshold.
     Signing is the Arrow-batched SRP UDF (planes in the UDF closure — no
-    plan literals, no driver-side dimension probe)."""
+    plan literals, no driver-side dimension probe).
+
+    Candidate generation routes through the shared skew-safe pair
+    generator (operators/pairs.candidate_pairs_from_buckets), exactly like
+    the document lanes: buckets over `bucket_cap` members — the signature
+    failure mode of a near-dup job, since near-identical vectors land in
+    the SAME SRP bucket in EVERY band — emit star-to-hub pairs (n-1 edges,
+    map-side broadcast join) instead of exploding C(n,2) inside one
+    aggregation buffer.  Star keeps hot buckets connected for downstream
+    clustering at graph diameter 2; pairwise edges dropped by the cap are
+    recovered transitively there (the same contract as the minhash lane;
+    reference analog: the bounded per-bucket candidate scan,
+    /root/reference/methods/qalsh.h:435-468).
+
+    `persists`: optional list collecting the pair generator's cached
+    bucket stream for caller-side unpersist (DedupResult.release shape)."""
     from qalsh_spark.operators.ann import cosine_sim, random_projection_buckets
+    from qalsh_spark.operators.banding import LANE_EMBED
+    from qalsh_spark.operators.pairs import candidate_pairs_from_buckets
 
     b = random_projection_buckets(embeddings, m, bands, seed, id_col, vec_col)
-    cand = (
-        b.alias("x")
-        .join(b.alias("y"), on="band_key")
-        .filter(F.col("x.vec_id") < F.col("y.vec_id"))
-        .select(F.col("x.vec_id").alias("a"), F.col("y.vec_id").alias("b"))
-        .distinct()
+    buckets = b.select(
+        F.col("vec_id").alias("doc_id"),
+        F.lit(LANE_EMBED).cast("tinyint").alias("lane_id"),
+        "band_key",
     )
+    cand, _stats = candidate_pairs_from_buckets(
+        buckets, bucket_cap=bucket_cap, persists=persists
+    )
+    cand = cand.select("a", "b")
     vecs = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     return (
         cand.join(vecs.withColumnsRenamed({"id": "a", "v": "va"}), on="a")

@@ -1256,8 +1256,16 @@ def q_embedding_near_dup(spark, sf_dir):
     floor on planted data).
     (m=24, bands=8, rows=3: band collision ~0.90 at cos 0.4 — the driver
     testdata has no true near-dups, so the threshold sits where pairs
-    exist; real dedup runs use the default 0.98.)"""
-    return embedding_near_dup_pairs(_emb(spark, sf_dir), threshold=0.4, m=24, bands=8)
+    exist; real dedup runs use the default 0.98.)  Candidates route
+    through the shared skew-safe pair generator (bucket cap + star
+    pairing) — the golden replays the same cap semantics."""
+    persists: list = []
+    out = embedding_near_dup_pairs(
+        _emb(spark, sf_dir), threshold=0.4, m=24, bands=8, persists=persists
+    ).localCheckpoint(True, _CKPT_LEVEL)
+    for df in persists:
+        df.unpersist()
+    return out
 
 
 # ---------------------------------------------------------------------------

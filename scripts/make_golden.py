@@ -102,10 +102,12 @@ def _dot_spark(a32: np.ndarray, b32: np.ndarray) -> float:
     return acc
 
 
-def build_neardup(sf_dir: str, threshold=0.4, m=24, bands=8, seed=6) -> pa.Table:
+def build_neardup(sf_dir: str, threshold=0.4, m=24, bands=8, seed=6, cap=64) -> pa.Table:
     """Golden for q_embedding_near_dup: same SRP kernel call as the Spark
-    UDF (kernels.srp_band_keys_matrix on float64), same cap-free bucket
-    pairing, and a bit-exact replication of the JVM cosine verify
+    UDF (kernels.srp_band_keys_matrix on float64), the same CAPPED bucket
+    pairing as operators/pairs.candidate_pairs_from_buckets (buckets over
+    `cap` members emit star-to-hub pairs, hub = min id, instead of all
+    C(n,2)), and a bit-exact replication of the JVM cosine verify
     (float32 products + left-to-right double fold + HALF_UP round-4).
     Verified exact-equal to the live Spark output at every sf dir."""
     fp, ids, emb32 = embeddings_fp(sf_dir)
@@ -120,6 +122,11 @@ def build_neardup(sf_dir: str, threshold=0.4, m=24, bands=8, seed=6) -> pa.Table
     cand: set[tuple[int, int]] = set()
     for members in buckets.values():
         ms = sorted(set(members))
+        if len(ms) > cap:
+            hub = ms[0]
+            for y in ms[1:]:
+                cand.add((hub, y))
+            continue
         for x in range(len(ms)):
             for y in range(x + 1, len(ms)):
                 cand.add((ms[x], ms[y]))
