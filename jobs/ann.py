@@ -50,6 +50,10 @@ def main() -> None:
                     " override for your data's distance scale (or pass --w)")
     ap.add_argument("--w", type=float, default=None,
                     help="pstable only: bucket width directly (overrides --radius)")
+    ap.add_argument("--m", type=int, default=None,
+                    help="pstable only: projection count; default auto-tunes"
+                    " from (c, p, n) with the reference's formula"
+                    " (methods/qalsh.h:228-235, kernels.pstable_m)")
     ap.add_argument("--max-rounds", type=int, default=0,
                     help="pstable only: virtual-rehashing rounds (0 = single "
                     "pass); each round doubles the bucket width for queries "
@@ -127,7 +131,7 @@ def main() -> None:
         rehash_persists: list = []
         topk = pstable_topk(
             emb, queries, k=args.k, p=float(p), w=args.w, radius=args.radius,
-            max_rounds=args.max_rounds, persists=rehash_persists,
+            m=args.m, max_rounds=args.max_rounds, persists=rehash_persists,
         )
     elif args.algo == "ivf":
         topk = ivf_topk(emb, queries, k=args.k)

@@ -343,6 +343,35 @@ def pstable_collision_prob(
     return float(np.clip(1.0 - a / t, 0.0, 1.0).mean())
 
 
+def pstable_m(
+    c: float, p: float, n: int, candidates: int = 100, w: float | None = None
+) -> int:
+    """The reference's auto-tuned projection count
+    (/root/reference/methods/qalsh.h:228-235):
+
+        m = ceil((sqrt(ln(2/beta)) + sqrt(ln(1/delta)))^2 / (2*(p1-p2)^2))
+
+    with beta = CANDIDATES/n (CANDIDATES = 100, methods/def.h:39),
+    delta = 1/e, p1 = collision probability at the target radius and p2
+    at c times it — evaluated here with THIS engine's floor-grid collision
+    model (pstable_collision_prob) at the same (w, c) operating point, so
+    the guarantee transfers to the batch bucketization.  `w` defaults to
+    the width pstable_w tunes for (c, p).  A user porting a reference
+    config gets m derived from (c, p, n) exactly as the reference does,
+    instead of guessing."""
+    import math
+
+    if w is None:
+        w = pstable_w(c, p)
+    beta = min(0.5, candidates / float(max(n, candidates + 1)))
+    delta = 1.0 / math.e
+    p1 = pstable_collision_prob(p, w)
+    p2 = pstable_collision_prob(p, w / c)
+    para1 = math.sqrt(math.log(2.0 / beta))
+    para2 = math.sqrt(math.log(1.0 / delta))
+    return int(math.ceil((para1 + para2) ** 2 / (2.0 * (p1 - p2) ** 2)))
+
+
 def pstable_alpha(p: float, t1: float, c: float = 2.0) -> float:
     """The reference's collision-count threshold fraction alpha such that
     l = ceil(alpha*m) (/root/reference/methods/qalsh.h:228-236):

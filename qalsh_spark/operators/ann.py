@@ -412,7 +412,7 @@ def pstable_topk(
     w: float | None = None,
     radius: float | None = None,
     c: float = 2.0,
-    m: int = 32,
+    m: int | None = None,
     min_collisions: int | None = None,
     seed: int = 6,
     id_col: str = "vec_id",
@@ -443,9 +443,11 @@ def pstable_topk(
     Bucket width: pass `w` directly (data-scale), or `radius` (target
     near-neighbor distance): w = radius * kernels.pstable_w(c, p), the
     reference's auto-tuned unit-radius width (methods/qalsh.h:197-226)
-    scaled to the data.  min_collisions defaults to the reference's
-    alpha*m with alpha from the collision-probability midpoint
-    (kernels.pstable_alpha).
+    scaled to the data.  m=None (default) auto-tunes the projection
+    count from (c, p, n) with the reference's own formula
+    (kernels.pstable_m, methods/qalsh.h:228-235); min_collisions
+    defaults to the reference's alpha*m with alpha from the
+    collision-probability midpoint (kernels.pstable_alpha).
 
     Virtual rehashing (max_rounds > 0): the reference grows the search
     radius geometrically at query time until top-k is certified
@@ -471,6 +473,14 @@ def pstable_topk(
         if radius is None:
             raise ValueError("pstable_topk: pass w or radius")
         w = float(radius) * K.pstable_w(c, p)
+    if m is None:
+        # the reference derives m itself from (c, p, beta=CANDIDATES/n,
+        # delta=1/e) — methods/qalsh.h:228-235; kernels.pstable_m is that
+        # formula under this engine's floor-grid collision model.  The
+        # only blocking cost is one count() (parquet-footer metadata for
+        # file scans).
+        n = vectors.count()
+        m = K.pstable_m(c, p, n, w=(w / radius if radius is not None else None))
     if min_collisions is None:
         if radius is not None:
             min_collisions = max(1, int(np.ceil(K.pstable_alpha(p, w / radius, c) * m)))
