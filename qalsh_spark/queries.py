@@ -1098,6 +1098,12 @@ FROM read_parquet('/root/repo/golden/pstable_rehash_ann_topk.parquet')
 WHERE emb_fp = {_EMB_FP_SQL}
 """
 
+SQL_PSTABLE_AUTO_ANN_TOPK = f"""
+SELECT qid, neighbor_id, l2, rank
+FROM read_parquet('/root/repo/golden/pstable_auto_ann_topk.parquet')
+WHERE emb_fp = {_EMB_FP_SQL}
+"""
+
 SQL_ANN_RECALL_EVAL = f"""
 SELECT k, n_queries, avg_recall, avg_ratio
 FROM read_parquet('/root/repo/golden/ann_recall_eval.parquet')
@@ -1245,6 +1251,29 @@ def q_pstable_rehash_ann_topk(spark, sf_dir):
     return out
 
 
+def q_pstable_auto_ann_topk(spark, sf_dir):
+    """Golden-oracle checked: the FULLY auto-tuned p-stable lane — the
+    user supplies only (c=2, p=2, radius); w comes from kernels.pstable_w,
+    m from the reference's own formula kernels.pstable_m(c, p, n)
+    (methods/qalsh.h:228-235, beta = 100/n, delta = 1/e), and
+    min_collisions from ceil(alpha*m) (methods/qalsh.h:236) — exactly the
+    reference CLI's contract, where every knob beyond (c, p) is derived.
+    The oracle is the frozen NumPy replay of the same derivations in
+    scripts/make_golden.build_ann_lanes; a Mnist recall floor for the
+    auto-tuned path lives in tests/test_pstable.py."""
+    from qalsh_spark.operators.ann import pstable_topk
+
+    emb = _emb(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return pstable_topk(emb, queries, k=5, p=2.0, radius=1.2).select(
+        "qid", "neighbor_id", F.round("score", 3).alias("l2"), "rank"
+    )
+
+
 def q_embedding_near_dup(spark, sf_dir):
     """SRP-bucketed near-dup pairs, golden-oracle checked (LSH discovery is
     not directly SQL-expressible, so the oracle is the frozen single-process
@@ -1319,6 +1348,7 @@ QUERIES: dict[str, SparkQuery] = {
     "qalsh_plus_ann_topk": q_qalsh_plus_ann_topk,
     "pstable_ann_topk": q_pstable_ann_topk,
     "pstable_rehash_ann_topk": q_pstable_rehash_ann_topk,
+    "pstable_auto_ann_topk": q_pstable_auto_ann_topk,
     "embedding_near_dup": q_embedding_near_dup,
 }
 
@@ -1364,5 +1394,6 @@ ORACLE_SQL: dict[str, str] = {
     "qalsh_plus_ann_topk": SQL_QALSH_PLUS_ANN_TOPK,
     "pstable_ann_topk": SQL_PSTABLE_ANN_TOPK,
     "pstable_rehash_ann_topk": SQL_PSTABLE_REHASH_ANN_TOPK,
+    "pstable_auto_ann_topk": SQL_PSTABLE_AUTO_ANN_TOPK,
     "ann_recall_eval": SQL_ANN_RECALL_EVAL,
 }

@@ -380,6 +380,27 @@ def build_ann_lanes(sf_dir: str) -> dict[str, pa.Table]:
         fp, topk_rows(ps_cand, _l2_spark64, 5, desc=False), "l2"
     )
 
+    # --- pstable_auto_ann_topk: the FULLY auto-tuned p-stable lane —
+    # (c=2, p=2, radius=1.2) only; w = radius * pstable_w, m from the
+    # reference's formula pstable_m(c, p, n) (methods/qalsh.h:228-235),
+    # min_collisions = ceil(alpha * m).  Expressions replicate
+    # operators/ann.pstable_topk's auto path verbatim (same float
+    # round-trips) so the frozen rows are bit-exact.
+    c_a, p_a, radius_a = 2.0, 2.0, 1.2
+    w_a = float(radius_a) * K.pstable_w(c_a, p_a)
+    m_a = K.pstable_m(c_a, p_a, n, w=w_a / radius_a)
+    l_a = max(1, int(np.ceil(K.pstable_alpha(p_a, w_a / radius_a, c_a) * m_a)))
+    aplanes = K.pstable_planes(m_a, d, p_a, 6)
+    aoffs = K.pstable_offsets(m_a, w_a, 6)
+    akeys = K.pstable_band_keys_matrix(X, aplanes, aoffs, w_a, m_a, 1)
+    auto_cand = {}
+    for qi in qsel:
+        coll = (akeys == akeys[qi][None, :]).sum(axis=1)
+        auto_cand[int(ids[qi])] = set(np.nonzero(coll >= l_a)[0].tolist())
+    out["pstable_auto_ann_topk"] = _ann_table(
+        fp, topk_rows(auto_cand, _l2_spark64, 5, desc=False), "l2"
+    )
+
     # --- pstable_rehash_ann_topk: the virtual-rehashing lane
     # (operators/ann.py _pstable_rehash_topk) at a deliberately small
     # w0 = 0.8 (1/4 of the single-pass lane's 3.2, so the first rounds

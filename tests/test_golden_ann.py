@@ -52,6 +52,7 @@ def _golden_rows(name: str, fp: str, cols: list[str]) -> list:
         ("qalsh_plus_ann_topk", ["qid", "neighbor_id", "cos", "rank"]),
         ("pstable_ann_topk", ["qid", "neighbor_id", "l2", "rank"]),
         ("pstable_rehash_ann_topk", ["qid", "neighbor_id", "l2", "rank"]),
+        ("pstable_auto_ann_topk", ["qid", "neighbor_id", "l2", "rank"]),
         ("ann_recall_eval", ["k", "n_queries", "avg_recall", "avg_ratio"]),
     ],
 )
