@@ -110,8 +110,17 @@ def candidate_pairs_from_buckets(
     cap = _cap_expr(bucket_cap)
     sz = F.col("bucket_size")
 
-    # THE one exchange: hash-partition the slim bucket stream on its
-    # grouping keys and keep the shuffled copy MEMORY_AND_DISK (compressed
+    # THE one exchange: hash-partition the slim bucket stream on band_key
+    # ALONE — HashPartitioning(band_key) satisfies every consumer's
+    # ClusteredDistribution(band_key, lane_id) by the subset rule, hashes
+    # one column instead of two, and (load-bearing) stays an ATTRIBUTE
+    # even when a caller's lane_id is a plan literal: a foldable lane_id
+    # inside the partitioning expressions gets constant-folded into a
+    # form the consumers' required distribution no longer matches, and
+    # Catalyst silently re-exchanges the whole stream between the partial
+    # and final collect aggregates (observed with the embed lane's
+    # lit(LANE_EMBED) before this fix — 2x the engine's highest-volume
+    # shuffle).  The shuffled copy is kept MEMORY_AND_DISK (compressed
     # columnar batches; blocks the JVM storage pool cannot hold are evicted
     # to the scratch dirs, so the footprint is heap-bounded — never a kernel
     # OOM).  At small inputs the three consumers below re-read pure RAM; at
@@ -121,7 +130,7 @@ def candidate_pairs_from_buckets(
     # dual scratch dirs).  Every downstream groupBy/join below clusters on
     # the same keys and therefore runs in-stage on this partitioning — zero
     # further exchanges of the engine's highest-volume stream.
-    bucketed = buckets.repartition(F.col("band_key"), F.col("lane_id")).persist(
+    bucketed = buckets.repartition(F.col("band_key")).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     if persists is not None:

@@ -35,11 +35,21 @@ def emb_set():
 
 @pytest.fixture(scope="module")
 def emb_df(spark, emb_set):
+    # serialized level + teardown unpersist: a bare .cache() here stored
+    # DESERIALIZED blocks that outlived the module and tripped
+    # test_storage_levels' no-deserialized-blocks sweep whenever the run
+    # order didn't happen to route through test_pairs' clearCache()
+    from qalsh_spark.operators.components import _CKPT_LEVEL
+
     rows = [
         (int(i), [float(x) for x in v])
         for i, v in zip(emb_set.vec_ids, emb_set.X)
     ]
-    return spark.createDataFrame(rows, "vec_id long, embedding array<double>").cache()
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).persist(_CKPT_LEVEL)
+    yield df
+    df.unpersist()
 
 
 def _cosine_matrix(X: np.ndarray) -> np.ndarray:
