@@ -303,14 +303,18 @@ def lsh_topk(
     qb = random_projection_buckets(
         queries, m, bands, seed, qid_col, qvec_col
     ).withColumnRenamed("vec_id", "qid")
+    # the query side is small by protocol: broadcast EXPLICITLY so the
+    # big side is never shuffled for discovery at any table size (the
+    # auto-threshold depends on size estimates that blow up on UDF
+    # projections over a 100 TB scan)
     cand = (
-        vb.join(qb, on="band_key")
+        vb.join(F.broadcast(qb), on="band_key")
         .select("qid", "vec_id")
         .distinct()
     )
     scored = (
         cand.join(vectors.select(F.col(id_col).alias("vec_id"), vec_col), on="vec_id")
-        .join(queries.select(F.col(qid_col).alias("qid"), qvec_col), on="qid")
+        .join(F.broadcast(queries.select(F.col(qid_col).alias("qid"), qvec_col)), on="qid")
         .select(
             "qid",
             F.col("vec_id").alias("neighbor_id"),
@@ -739,15 +743,17 @@ def ivf_topk(
         F.col(qid_col),
         F.explode(_cell_assign_udf(cents, nprobe)(F.col(qvec_col))).alias("cell"),
     )
+    # query side small by protocol -> explicit broadcast (same rationale
+    # as lsh_topk: never shuffle the vector table for discovery)
     cand = (
-        vcell.join(qcell, on="cell")
+        vcell.join(F.broadcast(qcell), on="cell")
         .select(F.col(qid_col).alias("qid"), F.col(id_col).alias("vec_id"))
         .distinct()
     )
     scored = (
         cand.join(vectors.select(F.col(id_col).alias("vec_id"), vec_col), on="vec_id")
         .join(
-            queries.select(F.col(qid_col).alias("qid"), qvec_col), on="qid"
+            F.broadcast(queries.select(F.col(qid_col).alias("qid"), qvec_col)), on="qid"
         )
         .select(
             "qid",
