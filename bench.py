@@ -30,6 +30,7 @@ HEADLINE = [
     "ivf_ann_topk",
     "qalsh_plus_ann_topk",
     "pstable_ann_topk",
+    "pstable_auto_ann_topk",
     "pstable_rehash_ann_topk",
     "knn_blocked_l2",
     "embedding_neardup_exact",
