@@ -25,8 +25,16 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("QALSH_SHUFFLE_PARTITIONS", "32"))
 
-    # Make the repo importable from the python worker daemon (it preloads
-    # numpy/pandas/pyarrow + kernels before forking — see qalsh_spark/daemon.py)
+    # Make the package importable from the python worker daemon (it preloads
+    # numpy/pandas/pyarrow + kernels before forking — see qalsh_spark/daemon.py).
+    # The parent of the qalsh_spark package is the repo root when running from
+    # a checkout and the --py-files zip path when running from
+    # dist/qalsh_spark.zip — both are valid PYTHONPATH entries.  Exporting
+    # os.environ covers python-launched drivers (py4j spawns the JVM as a
+    # child, which inherits it); spark.executorEnv.PYTHONPATH covers
+    # spark-submit, where the JVM is the PARENT of this process and its
+    # environment is already fixed — without it the daemon module is only
+    # importable when the job is launched from the repo cwd.
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     existing = os.environ.get("PYTHONPATH", "")
     if repo_root not in existing.split(os.pathsep):
@@ -59,6 +67,7 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
         .config("spark.python.worker.reuse", "true")
         .config("spark.python.daemon.module", "qalsh_spark.daemon")
+        .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
         # The engine's big equi-joins (bucket-size join, pair->signature
         # joins) have a compact build side; shuffled HASH join skips the
         # full sort of the ~120-rows/doc bucket stream that sort-merge

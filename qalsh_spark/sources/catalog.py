@@ -127,9 +127,15 @@ def _parquet_rows(path: str) -> int:
 
 def read_documents(spark: SparkSession, path: str) -> DataFrame:
     """Read an input_hint-shaped documents table
-    (url, warc_ts, html, text, lang) from parquet/dir."""
+    (url, warc_ts, html, text, lang) from parquet/dir.
+
+    Tables without the canonical `url` primary key (e.g. the driver testdata
+    shape documents(doc_id, text, lang, source, n_chars)) are routed through
+    `adapt_documents`, so every entry point — jobs/dedup.py included —
+    accepts either shape; canonical inputs pass through untouched."""
     p = path if path.endswith(".parquet") else os.path.join(path, "documents.parquet")
-    return spark.read.parquet(p)
+    df = spark.read.parquet(p)
+    return df if "url" in df.columns else adapt_documents(df)
 
 
 def adapt_documents(df: DataFrame) -> DataFrame:

@@ -63,3 +63,19 @@ def test_dedup_job_flagship(tmp_path):
     assert m["n_docs"] == 300
     assert 0 < m["n_clusters"] <= 300
     assert m["docs_per_hour"] > 0
+
+
+@pytest.mark.skipif(not os.path.isdir(SF), reason="driver testdata absent")
+def test_dedup_job_driver_testdata(tmp_path):
+    """The job must accept the driver testdata shape (doc_id, text, lang,
+    source, n_chars) — read_documents auto-adapts tables without the
+    canonical url key.  Regression: this exact invocation failed with
+    UNRESOLVED_COLUMN `url` when only queries.py adapted."""
+    m = _run(
+        [
+            os.path.join(REPO, "jobs", "dedup.py"),
+            "--input", SF, "--output", str(tmp_path / "clusters"),
+        ]
+    )
+    assert m["n_docs"] == 500
+    assert 0 < m["n_clusters"] <= 500
